@@ -1,0 +1,32 @@
+"""monte_carlo_gp_tpu — TPU-native stochastic F1 race simulator.
+
+A ground-up JAX/XLA rebuild of the capabilities of dan-lee-gh/monte-carlo-gp
+(reference mounted at /root/reference): Monte Carlo race simulation (tire
+degradation, pit stops, safety cars, VSC, red flags, DRS, overtakes, DNFs),
+dual qualifying/race Elo ratings, feature engineering over historical lap
+archives, weekend prediction orchestration, and Brier-score backtesting.
+
+Architecture (TPU-first, not a port):
+  - The per-lap simulation loop (reference: serial Python for-loop at
+    simulation.py:83) is a `lax.scan` over laps carrying a struct-of-arrays
+    car-state pytree of shape (n_sims, n_drivers), batched directly over
+    simulations and sharded across chips via `jax.sharding`.
+  - All stochastic event draws are counter-based threefry samples
+    (`jax_threefry_partitionable=True`), so results are bitwise-reproducible
+    per seed under any device sharding.
+  - Sorting/position logic becomes rank computations + one-hot permutation
+    matmuls (MXU/VPU friendly, no data-dependent control flow).
+  - Elo updates (reference: elo.py) become a `lax.scan` over a padded event
+    tensor with vectorized O(n^2) pairwise expected-score matrices.
+  - The data layer is off the hot path (pandas/numpy), emits dense jnp
+    tensors, and supports real offline/cached operation (the reference README
+    promises this but never implemented it — see SURVEY.md).
+"""
+
+import jax
+
+# Bitwise reproducibility of RNG under any sharding: partitionable threefry
+# makes jax.random draws independent of the device mesh layout.
+jax.config.update("jax_threefry_partitionable", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,114 @@
+"""Monte Carlo driver: grid sampling -> lap-1 -> lap scan -> classification
+-> finish-position histogram.
+
+This is the TPU replacement for the reference's serial loop
+`RaceSimulator.run_monte_carlo` (reference simulation.py:59-100): instead of
+10,000 sequential Python race simulations, all simulations advance together
+through a single `lax.scan` over laps, carrying a (n_sims, D) struct-of-arrays
+state. Simulations are processed in fixed-size blocks (an outer `lax.map`)
+to bound peak HBM for very large n_sims; within a block, the simulation axis
+is the sharding axis for multi-chip scale-out.
+
+Reproducibility: all draws are counter-based threefry keyed by
+(seed, block, lap, stream); with `jax_threefry_partitionable` results are
+bitwise identical per (seed, n_sims, block size) under any device sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from monte_carlo_gp_tpu.config import SimParams
+from monte_carlo_gp_tpu.ops import rng
+from monte_carlo_gp_tpu.ops.grid_sampling import sample_grid
+from monte_carlo_gp_tpu.ops.lap_engine import (
+    classify,
+    init_cars,
+    lap_step,
+    simulate_lap_1,
+)
+
+DEFAULT_BLOCK = 131_072  # sims per block on TPU (state ~130 MB @ D=20)
+
+
+def simulate_races_state(
+    params: SimParams, key: jax.Array, n_sims: int, total_laps: int
+):
+    """Simulate `n_sims` races; return ((n_sims, D) 1-indexed finish
+    positions, final `Cars` state). The state return is for tests/debugging.
+
+    One grid sample + race per simulation (reference simulation.py:83-94).
+    """
+    start_pos = sample_grid(
+        jax.random.fold_in(key, rng.STREAM_GRID),
+        params.grid_probs,
+        n_sims,
+        params.active,
+    )
+    cars = init_cars(params, start_pos)
+    cars = simulate_lap_1(params, cars, key)
+
+    drs_until0 = jnp.zeros((n_sims,), jnp.int32)
+
+    def step(carry, lap):
+        cars, drs_until = carry
+        cars, drs_until = lap_step(params, total_laps, cars, drs_until, lap, key)
+        return (cars, drs_until), None
+
+    laps = jnp.arange(2, total_laps + 1, dtype=jnp.int32)
+    (cars, _), _ = jax.lax.scan(step, (cars, drs_until0), laps)
+    return classify(cars), cars
+
+
+def simulate_races(
+    params: SimParams, key: jax.Array, n_sims: int, total_laps: int
+) -> jax.Array:
+    """Simulate `n_sims` races; return (n_sims, D) 1-indexed finish positions."""
+    return simulate_races_state(params, key, n_sims, total_laps)[0]
+
+
+def _histogram(positions: jax.Array, d: int) -> jax.Array:
+    """(S, D) 1-indexed positions -> (D, D) int32 counts[driver, position-1]."""
+    onehot = positions[..., None] == jnp.arange(1, d + 1, dtype=positions.dtype)
+    return jnp.sum(onehot, axis=0, dtype=jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_sims", "total_laps", "sims_per_block")
+)
+def run_monte_carlo(
+    params: SimParams,
+    key: jax.Array,
+    n_sims: int,
+    total_laps: int,
+    sims_per_block: int | None = None,
+) -> jax.Array:
+    """Run `n_sims` simulations, return (D, D) float32 probabilities:
+    probs[driver, p] = P(driver finishes in position p+1).
+
+    This is the whole-subtree replacement for the reference hot loop
+    (SURVEY.md §3.1). `sims_per_block` bounds peak memory: blocks run
+    sequentially via `lax.map`, each fully batched and sharded.
+    """
+    d = params.n_drivers
+    if sims_per_block is None or sims_per_block >= n_sims:
+        positions = simulate_races(params, key, n_sims, total_laps)
+        counts = _histogram(positions, d)
+        return counts.astype(jnp.float32) / n_sims
+
+    if n_sims % sims_per_block != 0:
+        raise ValueError(
+            f"n_sims={n_sims} must be a multiple of sims_per_block={sims_per_block}"
+        )
+    n_blocks = n_sims // sims_per_block
+
+    def block(block_idx):
+        bkey = jax.random.fold_in(key, block_idx)
+        positions = simulate_races(params, bkey, sims_per_block, total_laps)
+        return _histogram(positions, d)
+
+    counts = jax.lax.map(block, jnp.arange(n_blocks, dtype=jnp.int32))
+    return jnp.sum(counts, axis=0).astype(jnp.float32) / n_sims

@@ -1,0 +1,82 @@
+"""Rank and permutation primitives over the (small, static) driver axis.
+
+The reference engine calls Python `sorted()` on car lists several times per
+lap (simulation.py:179, :506, :549). On TPU we replace every sort with:
+
+  * `rank_by`    — O(D^2) pairwise comparison ranks (ties broken by index,
+                   matching Python's stable sort over list order),
+  * `scatter_by_rank` / `gather_at_rank` — one-hot permutation contractions
+                   that move values between car-indexed and position-indexed
+                   layouts without gather/scatter engines.
+
+D (number of drivers / grid slots) is ~20, so the D×D one-hot contractions
+are trivially cheap, fully vectorized over the simulation batch, and contain
+no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rank_by(keys: jnp.ndarray) -> jnp.ndarray:
+    """Dense competition ranks of `keys` along the last axis, ascending.
+
+    rank_i = #{ j : k_j < k_i  or  (k_j == k_i and j < i) }
+
+    Ties broken by index, which reproduces Python's stable `sorted()` over a
+    list held in index order. Works for any leading batch dims. Returns int32
+    — always an exact permutation of 0..D-1.
+    """
+    a = keys[..., :, None]  # i axis
+    b = keys[..., None, :]  # j axis
+    d = keys.shape[-1]
+    idx = jnp.arange(d, dtype=jnp.int32)
+    before = (b < a) | ((b == a) & (idx[None, :] < idx[:, None]))
+    return jnp.sum(before, axis=-1, dtype=jnp.int32)
+
+
+def _rank_onehot(rank: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(..., D) int32 ranks -> (..., D[car], D[pos]) one-hot permutation."""
+    d = rank.shape[-1]
+    return (rank[..., :, None] == jnp.arange(d, dtype=jnp.int32)).astype(dtype)
+
+
+def scatter_by_rank(values: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
+    """Reorder car-indexed `values` into position-indexed order.
+
+    out[..., p] = values of the car whose rank is p. `rank` must be a
+    permutation (as produced by `rank_by`).
+    """
+    p = _rank_onehot(rank, values.dtype if values.dtype == jnp.float32 else jnp.float32)
+    out = jnp.einsum("...cp,...c->...p", p, values.astype(jnp.float32))
+    return out.astype(values.dtype) if jnp.issubdtype(values.dtype, jnp.floating) else jnp.round(out).astype(values.dtype)
+
+
+def gather_at_rank(sorted_values: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `scatter_by_rank`: read position-indexed values back to cars.
+
+    out[..., c] = sorted_values[..., rank[c]].
+    """
+    p = _rank_onehot(rank)
+    out = jnp.einsum("...cp,...p->...c", p, sorted_values.astype(jnp.float32))
+    if jnp.issubdtype(sorted_values.dtype, jnp.floating):
+        return out.astype(sorted_values.dtype)
+    return jnp.round(out).astype(sorted_values.dtype)
+
+
+def value_of_car_ahead(
+    values: jnp.ndarray, rank: jnp.ndarray, fill: float = 0.0
+) -> jnp.ndarray:
+    """For each car, the `values` entry of the car one rank ahead of it.
+
+    Rank-0 cars (the leader) get `fill`. This is the vectorized form of the
+    reference's car-ahead lookups (dirty air at simulation.py:179-183, DRS
+    gap at :556-559, overtake pairs at :508-512).
+    """
+    by_pos = scatter_by_rank(values, rank)
+    ahead = jnp.concatenate(
+        [jnp.full(by_pos.shape[:-1] + (1,), fill, by_pos.dtype), by_pos[..., :-1]],
+        axis=-1,
+    )
+    return gather_at_rank(ahead, rank)

@@ -1,0 +1,102 @@
+"""Statistical-tolerance tests: the TPU engine's finish-order distributions
+must match the sequential NumPy oracle (reference semantics, SURVEY.md §2)
+at fixed seed. Bitwise equality is impossible by construction (different RNG
+stream structure); the contract is distributional equality (BASELINE.md)."""
+
+import jax
+import numpy as np
+import pytest
+from scipy import stats
+
+from monte_carlo_gp_tpu.config import make_sim_params
+from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+from oracle.reference_sim import OracleConfig, run_oracle_monte_carlo
+
+
+def scenario(d=10, seed=5):
+    rng = np.random.default_rng(seed)
+    grid_probs = np.zeros((d, d), np.float32)
+    for i in range(d):
+        for p in range(d):
+            grid_probs[i, p] = np.exp(-((p - i) ** 2) / 6.0)
+    grid_probs /= grid_probs.sum(axis=1, keepdims=True)
+    return dict(
+        grid_probs=grid_probs,
+        base_pace=(90.0 + 0.12 * np.arange(d) + 0.05 * rng.standard_normal(d)).astype(np.float32),
+        tire_deg=np.clip(0.05 + 0.02 * rng.standard_normal(d), 0.01, 0.15).astype(np.float32),
+        variance=np.full(d, 0.15, np.float32),
+        dnf_rate=np.full(d, 0.001, np.float32),
+        team_dnf_rate=np.full(d, 0.002, np.float32),
+    )
+
+
+@pytest.mark.slow
+def test_finish_distribution_matches_oracle():
+    d, laps = 10, 30
+    sc = scenario(d)
+    ocfg = OracleConfig(
+        total_laps=laps, pit_loss=21.0, overtake_delta=0.6,
+        sc_prob=0.01, vsc_prob=0.015, red_prob=0.002,
+    )
+    n_oracle = 1200
+    oracle_probs = run_oracle_monte_carlo(
+        seed=42, cfg=ocfg,
+        grid_probs=sc["grid_probs"], base_pace=sc["base_pace"],
+        tire_deg=sc["tire_deg"], variance=sc["variance"],
+        dnf_rate=sc["dnf_rate"], team_dnf_rate=sc["team_dnf_rate"],
+        n_sims=n_oracle,
+    )
+    params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
+    n_tpu = 8192
+    tpu_probs = np.asarray(
+        run_monte_carlo(params, jax.random.PRNGKey(42), n_tpu, laps)
+    )
+
+    # Mean finish position per driver must agree within combined MC error.
+    positions = np.arange(1, d + 1)
+    mean_o = oracle_probs @ positions
+    mean_t = tpu_probs @ positions
+    var_o = oracle_probs @ positions**2 - mean_o**2
+    var_t = tpu_probs @ positions**2 - mean_t**2
+    se = np.sqrt(var_o / n_oracle + var_t / n_tpu)
+    z = (mean_o - mean_t) / np.maximum(se, 1e-6)
+    assert (np.abs(z) < 4.5).all(), (mean_o, mean_t, z)
+
+    # Rank correlation of win probabilities.
+    rho = stats.spearmanr(oracle_probs[:, 0], tpu_probs[:, 0]).statistic
+    assert rho > 0.8, (oracle_probs[:, 0], tpu_probs[:, 0])
+
+    # Podium probabilities agree within Monte Carlo error.
+    pod_o = oracle_probs[:, :3].sum(1)
+    pod_t = tpu_probs[:, :3].sum(1)
+    se_pod = np.sqrt(
+        pod_o * (1 - pod_o) / n_oracle + pod_t * (1 - pod_t) / n_tpu
+    )
+    z_pod = (pod_o - pod_t) / np.maximum(se_pod, 1e-3)
+    assert (np.abs(z_pod) < 4.5).all(), (pod_o, pod_t, z_pod)
+
+
+@pytest.mark.slow
+def test_dnf_rate_matches_oracle():
+    """With elevated DNF rates, the per-driver probability of finishing in
+    the bottom group must match the oracle (classification + DNF model)."""
+    d, laps = 8, 25
+    sc = scenario(d)
+    sc["dnf_rate"] = np.full(d, 0.01, np.float32)
+    sc["team_dnf_rate"] = np.full(d, 0.01, np.float32)
+    ocfg = OracleConfig(total_laps=laps, overtake_delta=0.6)
+    oracle_probs = run_oracle_monte_carlo(
+        seed=7, cfg=ocfg, n_sims=1200,
+        grid_probs=sc["grid_probs"], base_pace=sc["base_pace"],
+        tire_deg=sc["tire_deg"], variance=sc["variance"],
+        dnf_rate=sc["dnf_rate"], team_dnf_rate=sc["team_dnf_rate"],
+    )
+    params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
+    tpu_probs = np.asarray(
+        run_monte_carlo(params, jax.random.PRNGKey(7), 8192, laps)
+    )
+    # expected per-race DNF count: lap1 4*0.01 + 24 laps * 0.01 ~ 0.28/driver
+    # compare mean finish distributions overall
+    tv = 0.5 * np.abs(oracle_probs - tpu_probs).sum(axis=1)
+    assert tv.max() < 0.12, tv  # total variation per driver row
