@@ -1,0 +1,134 @@
+"""Data layer: synthetic backend determinism, offline disk cache round-trip,
+season extraction, and the 3-level Elo cache priority."""
+
+import numpy as np
+import pandas as pd
+
+from monte_carlo_gp_tpu.data.elo_cache import load_elo, load_with_priority, save_elo
+from monte_carlo_gp_tpu.data.loader import (
+    F1DataLoader,
+    extract_quali_results,
+    extract_race_results,
+)
+from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
+from monte_carlo_gp_tpu.models.elo import F1EloSystem
+
+
+def test_synthetic_deterministic():
+    a = SyntheticBackend(seed=1).load_laps(2024, "Bahrain Grand Prix", "Q")
+    b = SyntheticBackend(seed=1).load_laps(2024, "Bahrain Grand Prix", "Q")
+    pd.testing.assert_frame_equal(a, b)
+    c = SyntheticBackend(seed=2).load_laps(2024, "Bahrain Grand Prix", "Q")
+    assert not a["LapTime"].equals(c["LapTime"])
+
+
+def test_synthetic_schedule_and_sessions():
+    backend = SyntheticBackend(seed=1)
+    sched = backend.get_schedule(2024)
+    assert len(sched) == 20
+    assert any("sprint" in e["EventFormat"] for e in sched)
+    laps = backend.load_laps(2024, "Monaco Grand Prix", "FP2")
+    assert {"Driver", "LapTime", "Compound", "LapNumber"} <= set(laps.columns)
+    assert laps["Driver"].nunique() == 20
+    res = backend.load_results(2024, "Monaco Grand Prix", "R")
+    assert set(res["Position"]) == set(range(1, 21))
+    assert (res["Status"] != "Finished").sum() >= 0
+    w = backend.load_weather(2024, "Belgium Grand Prix", "R")
+    assert w["rainfall"] is True  # Belgium is a wet round in the fixture
+
+
+def test_extract_quali_results_filters_and_sorts():
+    laps = pd.DataFrame(
+        {
+            "Driver": ["A", "A", "B", "B", "C"],
+            "LapTime": [90.0, 85.0, 88.0, 86.0, np.nan],
+            "IsAccurate": [True, False, True, True, True],
+        }
+    )
+    out = extract_quali_results(laps)
+    # A's 85.0 is inaccurate -> best accurate is 90.0; B best 86.0; C NaN dropped
+    assert out == [("B", 86.0), ("A", 90.0)]
+
+
+def test_extract_race_results_last_lap():
+    laps = pd.DataFrame(
+        {
+            "Driver": ["A", "A", "B"],
+            "LapNumber": [1, 2, 1],
+            "Position": [2.0, 1.0, 2.0],
+        }
+    )
+    assert sorted(extract_race_results(laps)) == [("A", 1), ("B", 2)]
+
+
+def test_loader_offline_cache_roundtrip(tmp_path):
+    backend = SyntheticBackend(seed=3, n_events=3)
+    online = F1DataLoader(cache_dir=tmp_path, backend=backend)
+    n = online.build_cache([2024], sessions=("FP2", "Q", "R"))
+    assert n > 0
+    # offline loader (no backend) must serve everything from disk
+    offline = F1DataLoader(cache_dir=tmp_path, offline=True)
+    assert offline.backend is None
+    laps = offline.load_session(2024, "Bahrain Grand Prix", "Q")
+    assert not laps.empty
+    sched = offline.get_schedule(2024)
+    assert len(sched) == 3
+    season = offline.load_season_data(2024)
+    assert len(season["qualifying"]) == 3
+    assert len(season["races"]) == 3
+    w = offline.get_weather(2024, "Bahrain Grand Prix", "R")
+    assert "track_temp" in w
+    # a session never cached -> empty frame, no crash
+    missing = offline.load_session(2024, "Bahrain Grand Prix", "FP1")
+    assert missing.empty
+
+
+def test_loader_memoizes(tmp_path):
+    backend = SyntheticBackend(seed=3, n_events=2)
+    loader = F1DataLoader(cache_dir=tmp_path, backend=backend)
+    a = loader.load_session(2024, "Bahrain Grand Prix", "Q")
+    b = loader.load_session(2024, "Bahrain Grand Prix", "Q")
+    assert a is b  # in-memory memo hit
+
+
+def test_future_events_filtered(tmp_path):
+    backend = SyntheticBackend(seed=3, n_events=5)
+    # "now" before the 3rd event date (events 14 days apart from Mar 1)
+    now = pd.Timestamp("2024-03-20", tz="UTC")
+    loader = F1DataLoader(cache_dir=tmp_path, backend=backend, now=now)
+    past = loader.past_events(2024)
+    assert len(past) == 2
+
+
+def test_elo_cache_roundtrip_and_priority(tmp_path):
+    system = F1EloSystem()
+    system.update_race_ratings([("VER", 1), ("NOR", 2), ("LEC", 3)])
+    local = tmp_path / "elo_local.json"
+    external = tmp_path / "elo_external.json"
+    save_elo(system, local, processed_seasons=[2023, 2024])
+
+    loaded, seasons = load_elo(local)
+    assert seasons == [2023, 2024]
+    assert abs(loaded.get_rating("VER", "race") - system.get_rating("VER", "race")) < 1e-4
+
+    # priority: external wins when present
+    other = F1EloSystem()
+    other.update_race_ratings([("HAM", 1), ("RUS", 2)])
+    save_elo(other, external, processed_seasons=[2022])
+    got = load_with_priority(external, local)
+    assert got is not None and got[2] == "external"
+    assert "HAM" in got[0].names
+
+    # missing external falls back to local
+    got = load_with_priority(tmp_path / "nope.json", local)
+    assert got is not None and got[2] == "local"
+    # both missing -> None (compute level)
+    assert load_with_priority(None, tmp_path / "nope.json") is None
+
+
+def test_elo_cache_rejects_corrupt(tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text("{not json")
+    assert load_elo(p) is None
+    p.write_text('{"version": 99, "ratings": {}}')
+    assert load_elo(p) is None
