@@ -1,0 +1,131 @@
+"""Run F1 race predictions (CLI-parity with the reference main.py, plus the
+offline/cache flags its README promises: --offline, --build-cache).
+
+Examples:
+    python main.py --race Bahrain --season 2024
+    python main.py --race Monaco --prediction-point fp3 --simulations 100000
+    python main.py --race Bahrain --season 2024 --offline
+    python main.py --build-cache --seasons 2023 2024
+    python main.py --race Bahrain --season 2024 --synthetic   # no-network demo
+"""
+
+import argparse
+
+
+def build_predictor(args):
+    from monte_carlo_gp_tpu.models.predictor import F1Predictor
+
+    backend = None
+    if args.synthetic:
+        from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
+
+        backend = SyntheticBackend(seed=args.synthetic_seed)
+    return F1Predictor(
+        cache_dir=args.cache_dir,
+        offline=args.offline,
+        backend=backend,
+        external_elo_cache=args.elo_cache,
+        use_elo_cache=args.use_elo_cache or args.offline,
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser(description="F1 Race Prediction")
+    parser.add_argument("--season", type=int, default=2025, help="Season year")
+    parser.add_argument("--race", type=str, help='Race name (e.g., "Abu Dhabi")')
+    parser.add_argument(
+        "--prediction-point",
+        type=str,
+        default="fp2",
+        choices=["fp1", "fp2", "fp3", "quali", "sprint"],
+        help="When to predict from (default: fp2)",
+    )
+    parser.add_argument(
+        "--simulations",
+        type=int,
+        default=10000,
+        help="Number of Monte Carlo simulations (default: 10000)",
+    )
+    parser.add_argument("--seed", type=int, default=None, help="Simulation seed")
+    parser.add_argument(
+        "--offline", action="store_true",
+        help="Serve everything from the local cache; never touch the network",
+    )
+    parser.add_argument(
+        "--build-cache", action="store_true",
+        help="Download and persist session data for --seasons, then exit",
+    )
+    parser.add_argument(
+        "--seasons", type=int, nargs="+", default=None,
+        help="Seasons for --build-cache",
+    )
+    parser.add_argument("--cache-dir", type=str, default="./cache")
+    parser.add_argument(
+        "--elo-cache", type=str, default=None,
+        help="External Elo ratings cache (highest priority)",
+    )
+    parser.add_argument(
+        "--use-elo-cache", action="store_true",
+        help="Load/persist Elo ratings from the local cache",
+    )
+    parser.add_argument(
+        "--synthetic", action="store_true",
+        help="Use the deterministic synthetic data backend (demo, no network)",
+    )
+    parser.add_argument("--synthetic-seed", type=int, default=2718)
+    args = parser.parse_args()
+
+    if args.build_cache:
+        predictor = build_predictor(args)
+        seasons = args.seasons or [args.season - 1, args.season]
+        n = predictor.data_loader.build_cache(seasons)
+        print(f"Cached {n} session artifacts for seasons {seasons} "
+              f"under {args.cache_dir}")
+        return
+
+    if not args.race:
+        parser.error("--race is required unless --build-cache is given")
+
+    print(f"\n{'='*60}")
+    print(f"F1 Race Prediction: {args.season} {args.race}")
+    print(f"Prediction point: {args.prediction_point}")
+    print(f"{'='*60}\n")
+
+    print("Loading data and running simulations...")
+    predictor = build_predictor(args)
+
+    try:
+        results = predictor.predict_weekend(
+            season=args.season,
+            race=args.race,
+            prediction_point=args.prediction_point,
+            n_simulations=args.simulations,
+            seed=args.seed,
+        )
+    except ValueError as e:
+        print(f"Error: {e}")
+        return
+
+    print(f"\nWeather: {'Wet' if results['weather'].get('rainfall') else 'Dry'}")
+    print(f"Track temp: {results['weather'].get('track_temp', 'N/A')}C")
+    print(f"Confidence: {results['confidence']}\n")
+
+    for title, key in (
+        ("POLE POSITION PROBABILITIES", "pole_probabilities"),
+        ("RACE WINNER PROBABILITIES", "win_probabilities"),
+        ("PODIUM PROBABILITIES", "podium_probabilities"),
+    ):
+        print(title)
+        print("-" * 40)
+        ranked = sorted(results[key].items(), key=lambda kv: kv[1], reverse=True)
+        for i, (driver, prob) in enumerate(ranked[:10], 1):
+            bar = "#" * int(prob * 30)
+            print(f"{i:2}. {driver:4} {prob:6.1%} {bar}")
+        print()
+
+    print(f"{'='*60}")
+    print("Prediction complete!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,496 @@
+"""Feature engineering over historical lap archives.
+
+Capability-parity rebuild of the reference `F1FeatureEngine`
+(/root/reference/src/features.py): 8 qualifying features and 10 race
+features with the same formulas, clamps and defaults (SURVEY.md §2 row 6).
+
+Design differences (all deliberate):
+  * every feature is computed for ALL drivers at once with vectorized pandas
+    groupbys over precomputed aggregate tables (the reference re-groups the
+    whole archive per driver per feature — O(drivers × features) scans);
+  * results are exposed both as the reference's per-driver dicts
+    (`calculate_quali_features` / `calculate_race_features`) and as dense
+    feature tensors for the predictor (`quali_feature_arrays` /
+    `race_feature_arrays`);
+  * `teammate_delta` is computed over the full archive. In the reference the
+    feature is structurally dead: `calculate_quali_features` passes only the
+    driver's own laps into `_calc_teammate_delta` (features.py:81-88), so no
+    teammate rows exist and it always returns 0.0;
+  * `avg_gap_to_pole_pct` is actually computed (the reference stubs it to a
+    constant 1.0, features.py:128-133).
+
+Everything here is off the hot path; outputs become jnp tensors at the
+predictor boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from monte_carlo_gp_tpu import config as cfg
+
+SESSION_KEY = ["season", "circuit", "session_type"]
+
+
+def _safe_div(a, b, default=0.0):
+    return a / b if b else default
+
+
+class F1FeatureEngine:
+    """Same public surface as the reference (features.py:10-126)."""
+
+    def __init__(self, data_loader):
+        self.loader = data_loader
+        self.laps = pd.DataFrame()
+        self.race_results = pd.DataFrame()
+        self._tables: dict | None = None
+
+    # -- loading (reference features.py:16-72) --------------------------------
+
+    def load_historical_data(self, seasons: list[int]) -> None:
+        """Combine Q+R laps and race classifications across seasons."""
+        all_laps, all_results = [], []
+        for season in seasons:
+            for ev in self.loader.past_events(season):
+                name = ev["EventName"]
+                for session_type in ("Q", "R"):
+                    laps = self.loader.load_session(season, name, session_type)
+                    if laps.empty:
+                        continue
+                    laps = laps.copy()
+                    laps["season"] = season
+                    laps["circuit"] = name
+                    laps["session_type"] = session_type
+                    all_laps.append(laps)
+                res = self.loader.load_results(season, name, "R")
+                if res is not None and not res.empty:
+                    res = res.rename(
+                        columns={
+                            "Abbreviation": "driver",
+                            "GridPosition": "grid",
+                            "Position": "finish",
+                            "Status": "status",
+                        }
+                    )[["driver", "grid", "finish", "status"]].copy()
+                    res["season"] = season
+                    res["circuit"] = name
+                    all_results.append(res)
+        self.laps = (
+            pd.concat(all_laps, ignore_index=True) if all_laps else pd.DataFrame()
+        )
+        self.race_results = (
+            pd.concat(all_results, ignore_index=True)
+            if all_results
+            else pd.DataFrame()
+        )
+        self._tables = None
+
+    # -- aggregate tables (computed once per archive) --------------------------
+
+    def _t(self) -> dict:
+        if self._tables is not None:
+            return self._tables
+        t: dict = {}
+        laps = self.laps
+        if laps.empty or "Driver" not in laps.columns:
+            self._tables = t
+            return t
+        g_session = laps.groupby(SESSION_KEY)
+        g_drv_session = laps.groupby(["Driver"] + SESSION_KEY)
+        t["session_best"] = g_session["LapTime"].min()
+        t["drv_session_best"] = g_drv_session["LapTime"].min()
+        t["drv_session_nlaps"] = g_drv_session.size()
+        t["drv_session_mean"] = g_drv_session["LapTime"].mean()
+        for col in ("Sector1Time", "Sector2Time", "Sector3Time"):
+            if col in laps.columns:
+                t["session_best_" + col] = g_session[col].min()
+                t["drv_session_best_" + col] = g_drv_session[col].min()
+        if "TrackTemp" in laps.columns:
+            t["session_temp"] = g_session["TrackTemp"].mean()
+        if "Rainfall" in laps.columns:
+            t["session_wet"] = laps.groupby(["season", "circuit"])["Rainfall"].any()
+        # race-session driver medians and lap counts (race pace / deg)
+        r = laps[laps["session_type"] == "R"]
+        if not r.empty:
+            gr = r.groupby(["Driver", "season", "circuit"])
+            t["r_median"] = gr["LapTime"].median()
+            t["r_nlaps"] = gr["LapTime"].count()
+        self._tables = t
+        return t
+
+    # -- public per-driver API (reference features.py:74-126) ------------------
+
+    def calculate_quali_features(self, driver: str, circuit: str) -> dict:
+        return {
+            "avg_gap_to_pole_pct": self._gap_to_pole(driver),
+            "teammate_delta": self._teammate_delta(driver),
+            "circuit_affinity": self._circuit_affinity(driver, circuit),
+            "q3_conversion": self._q3_rate(driver),
+            "low_speed_strength": self._sector_strength(driver, "low_speed"),
+            "high_speed_strength": self._sector_strength(driver, "high_speed"),
+            "traction_strength": self._sector_strength(driver, "traction"),
+            "form_score": self._form_score(driver),
+        }
+
+    def calculate_race_features(self, driver: str, circuit: str, weather: dict) -> dict:
+        rainfall = weather.get("rainfall", False)
+        if pd.isna(rainfall):
+            is_wet = False
+        elif isinstance(rainfall, bool):
+            is_wet = rainfall
+        elif isinstance(rainfall, (int, float)):
+            is_wet = rainfall > 0
+        else:
+            is_wet = str(rainfall).lower() in ("true", "yes", "1")
+        track_temp = weather.get("track_temp", 35)
+        track_temp = float(track_temp) if pd.notna(track_temp) else 35.0
+        return {
+            "race_pace_delta": self._race_pace(driver),
+            "deg_rate": self._deg_rate(driver),
+            "overtake_rate": self._overtake_rate(driver),
+            "position_hold_rate": self._defense_rate(driver),
+            "dnf_probability": self._dnf_prob(driver),
+            "start_delta": self._start_performance(driver),
+            "clutch_factor": self._clutch_factor(driver),
+            "wet_performance": self._wet_performance(driver) if is_wet else 0,
+            "high_temp_deg": self._temp_sensitivity(driver) * track_temp,
+            "team_trend": self._team_trend(driver),
+        }
+
+    # -- qualifying features ----------------------------------------------------
+
+    def _quali_gaps(self, driver: str) -> pd.Series:
+        """Per-Q-session percentage gap of driver's best lap to session best."""
+        t = self._t()
+        if not t:
+            return pd.Series(dtype=float)
+        best = t["drv_session_best"]
+        if driver not in best.index.get_level_values(0):
+            return pd.Series(dtype=float)
+        drv = best.loc[driver]
+        drv = drv[drv.index.get_level_values("session_type") == "Q"]
+        if drv.empty:
+            return pd.Series(dtype=float)
+        session_best = t["session_best"].loc[drv.index]
+        gaps = (drv - session_best) / session_best * 100.0
+        return gaps.dropna()
+
+    def _gap_to_pole(self, driver: str) -> float:
+        """Mean % gap to pole in qualifying. Reference stubs this to 1.0 with
+        a 1.5 empty-default (features.py:128-133); here it is computed."""
+        gaps = self._quali_gaps(driver)
+        if gaps.empty:
+            return 1.5
+        return float(gaps.mean())
+
+    def _teammate_delta(self, driver: str) -> float:
+        """Mean % best-lap delta vs teammate per (season, circuit) session
+        (features.py:135-185 intent; see module docstring on the reference's
+        dead-code form). Positive = faster than teammate."""
+        laps = self.laps
+        if laps.empty or "Team" not in laps.columns:
+            return 0.0
+        drv_laps = laps[laps["Driver"] == driver]
+        if drv_laps.empty:
+            return 0.0
+        team = drv_laps["Team"].iloc[0]
+        team_laps = laps[(laps["Team"] == team) & (laps["session_type"] == "Q")]
+        best = team_laps.groupby(["season", "circuit", "Driver"])["LapTime"].min()
+        deltas = []
+        for (season, circuit), grp in best.groupby(level=[0, 1]):
+            by_driver = grp.droplevel([0, 1])
+            if driver not in by_driver.index:
+                continue
+            mine = by_driver[driver]
+            if pd.isna(mine):
+                continue
+            for mate, their in by_driver.items():
+                if mate == driver or pd.isna(their) or their <= 0:
+                    continue
+                deltas.append((their - mine) / their * 100.0)
+        return float(np.mean(deltas)) if deltas else 0.0
+
+    def _circuit_affinity(self, driver: str, circuit: str) -> float:
+        """Mean lap time at this circuit type vs overall, normalized and
+        clamped to ±0.5 (features.py:187-234)."""
+        laps = self.laps
+        if laps.empty:
+            return 0.0
+        drv = laps[laps["Driver"] == driver]
+        if drv.empty:
+            return 0.0
+        targets = [circuit] + cfg.get_similar_tracks(_short_name(circuit))
+        # circuit column holds full event names; match on contained short name
+        target_shorts = {_short_name(x) for x in targets}
+        at_circuit = drv[drv["circuit"].map(_short_name).isin(target_shorts)]
+        circuit_avg = at_circuit["LapTime"].dropna().mean()
+        overall_avg = drv["LapTime"].dropna().mean()
+        if pd.isna(circuit_avg) or pd.isna(overall_avg) or overall_avg == 0:
+            return 0.0
+        return float(np.clip((overall_avg - circuit_avg) / overall_avg, -0.5, 0.5))
+
+    def _q3_rate(self, driver: str) -> float:
+        """Share of Q sessions with >=3 laps — the reference's Q3 heuristic
+        (features.py:236-259)."""
+        t = self._t()
+        if not t:
+            return 0.5
+        n = t["drv_session_nlaps"]
+        if driver not in n.index.get_level_values(0):
+            return 0.5
+        drv = n.loc[driver]
+        drv = drv[drv.index.get_level_values("session_type") == "Q"]
+        if drv.empty:
+            return 0.5
+        return float((drv >= 3).mean())
+
+    def _sector_strength(self, driver: str, sector_type: str) -> float:
+        """% advantage vs session best in the mapped sector, mean over all
+        sessions, clamped ±1 (features.py:261-320)."""
+        col = {
+            "high_speed": "Sector1Time",
+            "low_speed": "Sector2Time",
+            "traction": "Sector3Time",
+        }.get(sector_type, "Sector1Time")
+        t = self._t()
+        if not t or ("drv_session_best_" + col) not in t:
+            return 0.0
+        best = t["drv_session_best_" + col]
+        if driver not in best.index.get_level_values(0):
+            return 0.0
+        drv = best.loc[driver].dropna()
+        if drv.empty:
+            return 0.0
+        session_best = t["session_best_" + col].loc[drv.index]
+        deltas = ((session_best - drv) / session_best * 100.0).dropna()
+        deltas = deltas[np.isfinite(deltas)]
+        if deltas.empty:
+            return 0.0
+        return float(np.clip(deltas.mean(), -1.0, 1.0))
+
+    def _form_score(self, driver: str, decay: float = 0.85) -> float:
+        """Exponential-decay weighted recent qualifying form in [-1, 1]
+        (features.py:322-394): per Q session, score = clip(1 - gap%, -1, 1),
+        weight = decay^(sessions_ago)."""
+        gaps = self._quali_gaps(driver)
+        if gaps.empty:
+            return 0.0
+        scores = np.clip(1.0 - gaps.to_numpy(), -1.0, 1.0)
+        n = len(scores)
+        weights = decay ** (n - 1 - np.arange(n))
+        return float((scores * weights).sum() / weights.sum())
+
+    # -- race features ------------------------------------------------------------
+
+    def _race_pace(self, driver: str) -> float:
+        """Mean % gap of driver's median race lap to the fastest qualifying
+        (>=5 laps) median in each race (features.py:396-446)."""
+        t = self._t()
+        if not t or "r_median" not in t:
+            return 0.0
+        med = t["r_median"][t["r_nlaps"] >= 5]
+        if med.empty or driver not in med.index.get_level_values(0):
+            return 0.0
+        leader = med.groupby(level=[1, 2]).min()
+        drv = med.loc[driver]
+        deltas = []
+        for (season, circuit), mine in drv.items():
+            lead = leader.get((season, circuit))
+            if lead and lead > 0:
+                deltas.append((mine - lead) / lead * 100.0)
+        return float(np.mean(deltas)) if deltas else 0.0
+
+    def _deg_rate(self, driver: str) -> float:
+        """Linear lap-time slope per race session, outliers ±10s of median
+        removed, slopes kept in (0, 0.5), mean clamped [0.01, 0.15]
+        (features.py:448-490)."""
+        laps = self.laps
+        if laps.empty:
+            return 0.05
+        drv = laps[(laps["Driver"] == driver) & (laps["session_type"] == "R")]
+        if drv.empty:
+            return 0.05
+        rates = []
+        sort_col = "LapNumber" if "LapNumber" in drv.columns else None
+        for _, grp in drv.groupby(["season", "circuit"]):
+            if sort_col:
+                grp = grp.sort_values(sort_col)
+            secs = grp["LapTime"].dropna().to_numpy()
+            if len(secs) < 10:
+                continue
+            med = np.median(secs)
+            keep = np.abs(secs - med) < 10.0
+            idx = np.nonzero(keep)[0]
+            if len(idx) < 5:
+                continue
+            slope = np.polyfit(idx.astype(float), secs[keep], 1)[0]
+            if 0 < slope < 0.5:
+                rates.append(slope)
+        if not rates:
+            return 0.05
+        return float(np.clip(np.mean(rates), 0.01, 0.15))
+
+    def _driver_results(self, driver: str) -> pd.DataFrame:
+        if self.race_results.empty:
+            return pd.DataFrame()
+        return self.race_results[self.race_results["driver"] == driver]
+
+    def _overtake_rate(self, driver: str) -> float:
+        """Mean grid - finish (features.py:492-514)."""
+        races = self._driver_results(driver)
+        if races.empty:
+            return 0.0
+        valid = races[(races["grid"] > 0) & (races["finish"] > 0)]
+        if valid.empty:
+            return 0.0
+        return float((valid["grid"] - valid["finish"]).mean())
+
+    def _defense_rate(self, driver: str) -> float:
+        """Share of races finishing within one place of grid, clamped
+        [0.3, 0.95] (features.py:516-543)."""
+        races = self._driver_results(driver)
+        if len(races) < 3:
+            return 0.7
+        valid = races[(races["grid"] > 0) & (races["finish"] > 0)]
+        if valid.empty:
+            return 0.7
+        held = (valid["finish"] <= valid["grid"] + 1).mean()
+        return float(np.clip(held, 0.3, 0.95))
+
+    def _dnf_prob(self, driver: str) -> float:
+        """Historical per-race DNF rate from status strings, clamped
+        [0.01, 0.20] (features.py:545-566)."""
+        races = self._driver_results(driver)
+        if len(races) < 5:
+            return 0.05
+        status = races["status"].astype(str).str.lower()
+        dnf = ~(status.str.contains("finished") | status.str.contains(r"\+", regex=True))
+        return float(np.clip(dnf.mean(), 0.01, 0.20))
+
+    def _start_performance(self, driver: str) -> float:
+        """40% of grid-to-finish gains in point-scoring races, clamped ±3
+        (features.py:568-594)."""
+        races = self._driver_results(driver)
+        if len(races) < 5:
+            return 0.0
+        valid = races[
+            (races["grid"] > 0) & (races["finish"] > 0) & (races["finish"] <= 15)
+        ]
+        if valid.empty:
+            return 0.0
+        avg = ((valid["grid"] - valid["finish"]) * 0.4).mean()
+        return float(np.clip(avg, -3.0, 3.0))
+
+    def _clutch_factor(self, driver: str) -> float:
+        """Normalized outperformance from contested grid slots (2-10),
+        clamped ±0.5 (features.py:596-624)."""
+        races = self._driver_results(driver)
+        if len(races) < 10:
+            return 0.0
+        valid = races[
+            (races["grid"] >= 2) & (races["grid"] <= 10) & (races["finish"] > 0)
+        ]
+        if valid.empty:
+            return 0.0
+        avg = ((valid["grid"] - valid["finish"]) / 5.0).mean()
+        return float(np.clip(avg, -0.5, 0.5))
+
+    def _wet_performance(self, driver: str) -> float:
+        """Gap-to-session-best difference, dry minus wet sessions, clamped ±1
+        (features.py:626-685). Positive = relatively faster in the wet."""
+        t = self._t()
+        if not t or "session_wet" not in t:
+            return 0.0
+        best = t["drv_session_best"]
+        if driver not in best.index.get_level_values(0):
+            return 0.0
+        drv = best.loc[driver].dropna()
+        if drv.empty:
+            return 0.0
+        session_best = t["session_best"].loc[drv.index]
+        gaps = ((drv - session_best) / session_best * 100.0).dropna()
+        wet_flag = t["session_wet"]
+        wet_gaps, dry_gaps = [], []
+        for (season, circuit, _s), gap in gaps.items():
+            if wet_flag.get((season, circuit), False):
+                wet_gaps.append(gap)
+            else:
+                dry_gaps.append(gap)
+        if not wet_gaps or not dry_gaps:
+            return 0.0
+        return float(np.clip(np.mean(dry_gaps) - np.mean(wet_gaps), -1.0, 1.0))
+
+    def _team_trend(self, driver: str, recent_races: int = 5) -> float:
+        """Last-5 vs earlier-season average finish, normalized /10, clamped
+        ±0.5 (features.py:687-728)."""
+        races = self._driver_results(driver)
+        if races.empty or "season" not in races.columns:
+            return 0.0
+        latest = races["season"].max()
+        season = races[races["season"] == latest].reset_index(drop=True)
+        if len(season) < recent_races + 2:
+            return 0.0
+        recent = season.tail(recent_races)["finish"].dropna()
+        earlier = season.head(len(season) - recent_races)["finish"].dropna()
+        if recent.empty or earlier.empty:
+            return 0.0
+        return float(np.clip((earlier.mean() - recent.mean()) / 10.0, -0.5, 0.5))
+
+    def _temp_sensitivity(self, driver: str) -> float:
+        """Slope of gap% vs session track temperature, /100, clamped
+        [0, 0.005] (features.py:730-786)."""
+        t = self._t()
+        if not t or "session_temp" not in t:
+            return 0.001
+        best = t["drv_session_best"]
+        if driver not in best.index.get_level_values(0):
+            return 0.001
+        drv = best.loc[driver].dropna()
+        if drv.empty:
+            return 0.001
+        session_best = t["session_best"].loc[drv.index]
+        temps = t["session_temp"].loc[drv.index]
+        gaps = ((drv - session_best) / session_best * 100.0)
+        ok = gaps.notna() & temps.notna() & (session_best > 0)
+        gaps, temps = gaps[ok].to_numpy(), temps[ok].to_numpy()
+        if len(gaps) < 5 or temps.std() < 5:
+            return 0.001
+        slope = np.polyfit(temps, gaps, 1)[0]
+        return float(np.clip(slope / 100.0, 0.0, 0.005))
+
+    # -- dense tensors for the predictor ----------------------------------------
+
+    QUALI_KEYS = (
+        "avg_gap_to_pole_pct", "teammate_delta", "circuit_affinity",
+        "q3_conversion", "low_speed_strength", "high_speed_strength",
+        "traction_strength", "form_score",
+    )
+    RACE_KEYS = (
+        "race_pace_delta", "deg_rate", "overtake_rate", "position_hold_rate",
+        "dnf_probability", "start_delta", "clutch_factor", "wet_performance",
+        "high_temp_deg", "team_trend",
+    )
+
+    def quali_feature_arrays(self, drivers: list[str], circuit: str) -> dict[str, np.ndarray]:
+        rows = [self.calculate_quali_features(d, circuit) for d in drivers]
+        return {
+            k: np.array([r[k] for r in rows], np.float32) for k in self.QUALI_KEYS
+        }
+
+    def race_feature_arrays(
+        self, drivers: list[str], circuit: str, weather: dict
+    ) -> dict[str, np.ndarray]:
+        rows = [self.calculate_race_features(d, circuit, weather) for d in drivers]
+        return {
+            k: np.array([r[k] for r in rows], np.float32) for k in self.RACE_KEYS
+        }
+
+
+def _short_name(event: str) -> str:
+    """'Bahrain Grand Prix' -> 'Bahrain' (match against config.CIRCUITS)."""
+    low = event.lower()
+    for name in cfg.TRACK_TYPES:
+        if name.lower() in low:
+            return name
+    return event

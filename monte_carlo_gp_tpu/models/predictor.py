@@ -1,0 +1,479 @@
+"""Weekend prediction orchestrator.
+
+Capability-parity rebuild of the reference `F1Predictor`
+(/root/reference/src/predictor.py): incremental chronological Elo builds over
+(season-1, season) with the 2018 floor, FP-session fallback chains per
+prediction point, actual-grid override for quali/sprint points, grid-penalty
+distribution shifts, practice-data extraction of base pace / tire degradation
+/ circuit-specific compound deltas, clutch-factor variance shaping with
+prediction-point uncertainty multipliers, team-trend and wet-skill pace
+adjustments, and the Monte Carlo race simulation.
+
+TPU-native differences:
+  * the Monte Carlo subtree is the jitted engine (`ops.engine.run_monte_carlo`)
+    — one `lax.scan` over laps across all simulations at once;
+  * `--simulations` is honored (the reference parses it and then hardcodes
+    10000, predictor.py:284 / main.py:14-15 — SURVEY.md preamble);
+  * Elo state persists through the 3-level cache priority the reference
+    README promises (data/elo_cache.py);
+  * all per-driver dicts become dense arrays at this boundary.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pandas as pd
+
+from monte_carlo_gp_tpu import config as cfg
+from monte_carlo_gp_tpu.data.elo_cache import load_with_priority, save_elo
+from monte_carlo_gp_tpu.data.loader import F1DataLoader
+from monte_carlo_gp_tpu.models.elo import F1EloSystem
+from monte_carlo_gp_tpu.models.features import F1FeatureEngine
+from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+# FP-session fallback chains per prediction point (reference predictor.py:312-318).
+SESSION_CHAINS: dict[str, list[str]] = {
+    "fp1": ["FP1"],
+    "fp2": ["FP2", "FP1"],
+    "fp3": ["FP3", "FP2", "FP1"],
+    "quali": ["FP3", "FP2", "FP1"],
+    "sprint": ["FP3", "FP2", "FP1"],
+}
+DEFAULT_CHAIN = ["FP2", "FP3", "FP1"]
+
+# Variance multipliers per prediction point (reference predictor.py:386-392).
+UNCERTAINTY_MULTIPLIER = {
+    "fp1": 1.5,
+    "fp2": 1.2,
+    "fp3": 1.0,
+    "quali": 0.9,
+    "sprint": 0.85,
+}
+CONFIDENCE_LEVELS = {
+    "fp1": "low",
+    "fp2": "moderate",
+    "fp3": "good",
+    "quali": "high",
+    "sprint": "high",
+}
+
+DEFAULT_PACE = 90.0
+DEFAULT_DEG = 0.05
+ELO_SEASON_FLOOR = 2017  # seasons must be > this (predictor.py:275)
+
+
+class F1Predictor:
+    """Reference-compatible orchestrator (predictor.py:157-464)."""
+
+    def __init__(
+        self,
+        cache_dir: str | Path = "./cache",
+        offline: bool = False,
+        backend=None,
+        external_elo_cache: str | Path | None = None,
+        use_elo_cache: bool = False,
+        now: pd.Timestamp | None = None,
+        sims_per_block: int | None = None,
+    ):
+        self.data_loader = F1DataLoader(
+            cache_dir=cache_dir, offline=offline, backend=backend, now=now
+        )
+        self.feature_engine = F1FeatureEngine(self.data_loader)
+        self.elo_system = F1EloSystem()
+        self._processed_seasons: set[int] = set()
+        self._features_loaded = False
+        self._elo_cache_path = Path(cache_dir) / "elo_ratings.json"
+        self._use_elo_cache = use_elo_cache
+        self._sims_per_block = sims_per_block
+        if use_elo_cache:
+            loaded = load_with_priority(external_elo_cache, self._elo_cache_path)
+            if loaded is not None:
+                self.elo_system, seasons, _src = loaded
+                self._processed_seasons = set(seasons)
+
+    # -- small helpers (reference predictor.py:165-242) ------------------------
+
+    def _get_circuit_info(self, race: str) -> dict:
+        return cfg.circuit_info(race)
+
+    def apply_grid_penalties(
+        self, quali_positions: dict[str, int], penalties: dict[str, int | str]
+    ) -> dict[str, int]:
+        """Re-rank a grid after penalties; quali position breaks ties
+        (reference predictor.py:214-242)."""
+        resolved = {d: cfg.resolve_penalty(p) for d, p in penalties.items()}
+        ranked = sorted(quali_positions.items(), key=lambda kv: kv[1])
+        penalized = [(d, pos + resolved.get(d, 0), pos) for d, pos in ranked]
+        penalized.sort(key=lambda x: (x[1], x[2]))
+        return {d: i + 1 for i, (d, _, _) in enumerate(penalized)}
+
+    # -- Elo construction (reference predictor.py:271-302) ----------------------
+
+    def _build_elo(self, season: int) -> list[int]:
+        historical = sorted(
+            s for s in range(season - 1, season + 1) if s > ELO_SEASON_FLOOR
+        )
+        for hist in historical:
+            if hist in self._processed_seasons:
+                continue
+            try:
+                years_ago = season - hist
+                data = self.data_loader.load_season_data(hist)
+                total = len(data["qualifying"])
+                for idx, ev in enumerate(data["qualifying"]):
+                    self.elo_system.set_recency_weight(years_ago, idx, total)
+                    self.elo_system.update_quali_ratings(ev)
+                for idx, ev in enumerate(data.get("sprint_qualifying", [])):
+                    self.elo_system.set_recency_weight(years_ago, idx, total)
+                    self.elo_system.update_quali_ratings(ev)
+                for idx, ev in enumerate(data["races"]):
+                    self.elo_system.set_recency_weight(years_ago, idx, total)
+                    self.elo_system.update_race_ratings(ev)
+                for idx, ev in enumerate(data.get("sprints", [])):
+                    self.elo_system.set_recency_weight(years_ago, idx, total)
+                    self.elo_system.update_race_ratings(ev)
+                self._processed_seasons.add(hist)
+            except Exception:  # noqa: BLE001 — skip bad seasons (predictor.py:301)
+                pass
+        if self._use_elo_cache and self._processed_seasons:
+            save_elo(
+                self.elo_system,
+                self._elo_cache_path,
+                processed_seasons=sorted(self._processed_seasons),
+            )
+        return historical
+
+    # -- the main pipeline (reference predictor.py:244-464) ---------------------
+
+    def predict_weekend(
+        self,
+        season: int,
+        race: str,
+        grid_penalties: dict[str, int | str] | None = None,
+        circuit_info: dict | None = None,
+        prediction_point: str = "fp2",
+        actual_grid: dict[str, int] | None = None,
+        n_simulations: int = 10_000,
+        seed: int | None = None,
+    ) -> dict:
+        grid_penalties = grid_penalties or {}
+        circuit_info = circuit_info or self._get_circuit_info(race)
+
+        historical_seasons = self._build_elo(season)
+        if not self._features_loaded and historical_seasons:
+            self.feature_engine.load_historical_data(historical_seasons)
+            self._features_loaded = True
+
+        # FP data via fallback chain.
+        fp_data = pd.DataFrame()
+        for session in SESSION_CHAINS.get(prediction_point, DEFAULT_CHAIN):
+            fp_data = self.data_loader.load_session(season, race, session)
+            if not fp_data.empty:
+                break
+        weather = self.data_loader.get_weather(season, race, "R")
+        if fp_data.empty:
+            raise ValueError(f"No practice data available for {season} {race}")
+
+        drivers = fp_data["Driver"].unique().tolist()
+        n = len(drivers)
+
+        # Qualifying probabilities: actual grid or model prediction.
+        if actual_grid and prediction_point in ("quali", "sprint"):
+            quali_probs = self._grid_to_probs(drivers, actual_grid)
+            if grid_penalties:
+                quali_probs = self._adjust_for_penalties(quali_probs, grid_penalties)
+        else:
+            quali_features = {
+                d: self.feature_engine.calculate_quali_features(d, race)
+                for d in drivers
+            }
+            quali_probs = self._predict_quali(drivers, quali_features)
+            if grid_penalties:
+                quali_probs = self._adjust_for_penalties(quali_probs, grid_penalties)
+
+        # Practice-data extraction.
+        base_pace = self._extract_race_pace(fp_data)
+        tire_deg = self._extract_tire_deg(fp_data)
+        dynamic_compounds = self._extract_tire_compound_deltas(fp_data)
+
+        race_features = {
+            d: self.feature_engine.calculate_race_features(d, race, weather)
+            for d in drivers
+        }
+        # Clutch-shaped variance, then prediction-point multiplier, cap 0.3
+        # (predictor.py:378-397).
+        mult = UNCERTAINTY_MULTIPLIER.get(prediction_point, 1.0)
+        driver_variance = {
+            d: min(
+                0.3,
+                max(0.05, min(0.25, 0.15 * (1 - race_features[d].get("clutch_factor", 0) * 0.2)))
+                * mult,
+            )
+            for d in drivers
+        }
+
+        total_laps = int(circuit_info.get("laps", 58))
+        driver_dnf_rates = {
+            d: race_features[d].get("dnf_probability", 0.05) / total_laps
+            for d in drivers
+        }
+
+        track_condition = "damp" if weather.get("rainfall", False) else "dry"
+
+        # Team-trend and wet-skill pace adjustments (predictor.py:416-426).
+        for d in drivers:
+            base_pace[d] = base_pace.get(d, DEFAULT_PACE) - (
+                race_features[d].get("team_trend", 0) * 0.6
+            )
+        if track_condition in ("damp", "wet"):
+            for d in drivers:
+                base_pace[d] -= race_features[d].get("wet_performance", 0) * 0.5
+
+        params = self._make_params(
+            drivers=drivers,
+            quali_probs=quali_probs,
+            base_pace=base_pace,
+            tire_deg=tire_deg,
+            driver_variance=driver_variance,
+            driver_dnf_rates=driver_dnf_rates,
+            circuit_info=circuit_info,
+            dynamic_compounds=dynamic_compounds,
+            track_condition=track_condition,
+        )
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        probs = np.asarray(
+            run_monte_carlo(
+                params, key, int(n_simulations), total_laps,
+                sims_per_block=self._sims_per_block,
+            )
+        )
+
+        race_probs = {
+            d: {p + 1: float(probs[i, p]) for p in range(n) if probs[i, p] > 0}
+            for i, d in enumerate(drivers)
+        }
+        return {
+            "pole_probabilities": {
+                d: (quali_probs[d][0] if quali_probs.get(d) else 1.0 / max(1, n))
+                for d in drivers
+            },
+            "win_probabilities": {d: race_probs.get(d, {}).get(1, 0.0) for d in drivers},
+            "podium_probabilities": {
+                d: sum(race_probs.get(d, {}).get(p, 0.0) for p in (1, 2, 3))
+                for d in drivers
+            },
+            "full_distributions": race_probs,
+            "weather": weather,
+            "prediction_point": prediction_point,
+            "confidence": CONFIDENCE_LEVELS.get(prediction_point, "moderate"),
+            "grid_is_actual": actual_grid is not None
+            and prediction_point in ("quali", "sprint"),
+        }
+
+    # -- qualifying model (reference predictor.py:466-520) -----------------------
+
+    def _predict_quali(
+        self, drivers: list[str], features: dict
+    ) -> dict[str, list[float]]:
+        if not drivers:
+            return {}
+        elo_probs = self.elo_system.predict_quali_probs(drivers)
+        # Teammate boost, clamped [0.5, 1.5] (predictor.py:477-483).
+        for d in drivers:
+            delta = features.get(d, {}).get("teammate_delta", 0)
+            if delta != 0 and d in elo_probs:
+                boost = 1 + delta * 0.25
+                elo_probs[d] = elo_probs[d] * max(0.5, min(1.5, boost))
+        total = sum(elo_probs.values())
+        if total > 0:
+            elo_probs = {d: p / total for d, p in elo_probs.items()}
+
+        n = len(drivers)
+        sigma = max(1.0, n / 4)
+        result = {}
+        for d in drivers:
+            base_prob = elo_probs.get(d, 1 / n)
+            f = features.get(d, {})
+            adjusted = base_prob * (
+                1 + f.get("form_score", 0) * 0.15 + f.get("circuit_affinity", 0) * 0.10
+            )
+            adjusted = max(0.001, min(0.999, adjusted))
+            expected_pos = (1 - adjusted) * n
+            pos = np.arange(n, dtype=np.float64)
+            probs = np.exp(-((pos - expected_pos) ** 2) / (2 * sigma**2))
+            total = probs.sum()
+            result[d] = (
+                (probs / total).tolist() if total > 0 else [1.0 / n] * n
+            )
+        return result
+
+    @staticmethod
+    def _grid_to_probs(drivers: list[str], actual_grid: dict[str, int]) -> dict:
+        """Deterministic position distributions from a known grid
+        (predictor.py:334-350); out-of-range or missing drivers go last."""
+        n = len(drivers)
+        out = {}
+        for d in drivers:
+            probs = [0.0] * n
+            if d in actual_grid and 0 <= actual_grid[d] - 1 < n:
+                probs[actual_grid[d] - 1] = 1.0
+            else:
+                probs[-1] = 1.0
+            out[d] = probs
+        return out
+
+    def _adjust_for_penalties(
+        self, quali_probs: dict, penalties: dict[str, int | str]
+    ) -> dict[str, list[float]]:
+        """Shift distributions back by penalty positions (predictor.py:522-552)."""
+        adjusted = {}
+        for d, probs in quali_probs.items():
+            penalty = cfg.resolve_penalty(penalties.get(d, 0))
+            if penalty > 0 and len(probs) > 0:
+                n = len(probs)
+                if penalty >= n:
+                    shifted = [0.0] * (n - 1) + [1.0]
+                else:
+                    shifted = [0.0] * n
+                    for i, p in enumerate(probs):
+                        shifted[min(i + penalty, n - 1)] += p
+                adjusted[d] = shifted
+            else:
+                adjusted[d] = probs
+        return adjusted
+
+    # -- practice-data extraction (reference predictor.py:554-714) ----------------
+
+    @staticmethod
+    def _extract_race_pace(fp_data: pd.DataFrame) -> dict[str, float]:
+        """Long-run pace per driver: median of the middle laps, excluding pit
+        in/out laps; 25th percentile fallback below 3 laps; field median for
+        drivers without valid times (predictor.py:554-618)."""
+        if fp_data.empty:
+            return {}
+        filtered = fp_data
+        for col in ("PitInTime", "PitOutTime"):
+            if col in filtered.columns:
+                filtered = filtered[filtered[col].isna()]
+        result = {}
+        for driver, grp in filtered.groupby("Driver"):
+            if "LapNumber" in grp.columns:
+                grp = grp.sort_values("LapNumber")
+            valid = grp["LapTime"].dropna()
+            if valid.empty:
+                continue
+            if len(valid) < 3:
+                q = valid.quantile(0.25)
+                if pd.notna(q):
+                    result[driver] = float(q)
+                continue
+            middle = valid.iloc[1:-1] if len(valid) > 3 else valid
+            if not middle.empty:
+                result[driver] = float(middle.median())
+        default = float(np.median(list(result.values()))) if result else DEFAULT_PACE
+        for driver in fp_data["Driver"].unique():
+            result.setdefault(driver, default)
+        return result
+
+    @staticmethod
+    def _extract_tire_deg(fp_data: pd.DataFrame) -> dict[str, float]:
+        """Per-driver linear lap-time slope, clamped [0.01, 0.15]; 0.05 for
+        warming-up (negative) slopes or sparse data (predictor.py:665-714)."""
+        if fp_data.empty:
+            return {}
+        result = {}
+        for driver, grp in fp_data.groupby("Driver"):
+            if len(grp) < 5 or "LapTime" not in grp.columns:
+                result[driver] = DEFAULT_DEG
+                continue
+            if "LapNumber" in grp.columns:
+                grp = grp.sort_values("LapNumber")
+            valid = grp["LapTime"].dropna()
+            if len(valid) < 5:
+                result[driver] = DEFAULT_DEG
+                continue
+            x = np.arange(len(valid), dtype=float)
+            try:
+                slope = np.polyfit(x, valid.to_numpy(dtype=float), 1)[0]
+                result[driver] = (
+                    float(np.clip(slope, 0.01, 0.15)) if slope > 0 else DEFAULT_DEG
+                )
+            except (np.linalg.LinAlgError, ValueError):
+                result[driver] = DEFAULT_DEG
+        return result
+
+    @staticmethod
+    def _extract_tire_compound_deltas(fp_data: pd.DataFrame) -> dict[str, dict]:
+        """Circuit-specific compound pace deltas relative to MEDIUM from
+        practice, outliers beyond 107% of best removed (predictor.py:620-663)."""
+        result = {c: dict(info) for c, info in cfg.TIRE_COMPOUNDS.items()}
+        if fp_data.empty or "Compound" not in fp_data.columns:
+            return result
+        paces = {}
+        for compound in ("SOFT", "MEDIUM", "HARD"):
+            laps = fp_data[fp_data["Compound"].astype(str).str.upper() == compound]
+            if laps.empty or "LapTime" not in laps.columns:
+                continue
+            valid = laps["LapTime"].dropna()
+            if len(valid) < 3:
+                continue
+            best = valid.min()
+            representative = valid[valid < best * 1.07]
+            if not representative.empty:
+                paces[compound] = float(representative.median())
+        if "MEDIUM" in paces:
+            for compound, pace in paces.items():
+                result[compound]["pace_delta"] = round(pace - paces["MEDIUM"], 2)
+        return result
+
+    # -- params assembly ----------------------------------------------------------
+
+    def _make_params(
+        self,
+        *,
+        drivers: list[str],
+        quali_probs: dict[str, list[float]],
+        base_pace: dict[str, float],
+        tire_deg: dict[str, float],
+        driver_variance: dict[str, float],
+        driver_dnf_rates: dict[str, float],
+        circuit_info: dict,
+        dynamic_compounds: dict[str, dict],
+        track_condition: str,
+    ) -> cfg.SimParams:
+        n = len(drivers)
+        grid = np.zeros((n, n), np.float32)
+        for i, d in enumerate(drivers):
+            probs = quali_probs.get(d) or []
+            grid[i, : len(probs)] = probs[:n]
+        team_rate = np.array(
+            [
+                cfg.DEFAULT_DNF_RATES.get(cfg.DRIVER_TEAMS.get(d, ""), 0.002)
+                for d in drivers
+            ],
+            np.float32,
+        )
+        return cfg.make_sim_params(
+            grid_probs=grid,
+            base_pace=np.array(
+                [base_pace.get(d, DEFAULT_PACE) for d in drivers], np.float32
+            ),
+            tire_deg=np.array(
+                [tire_deg.get(d, DEFAULT_DEG) for d in drivers], np.float32
+            ),
+            variance=np.array(
+                [driver_variance.get(d, 0.15) for d in drivers], np.float32
+            ),
+            dnf_rate=np.array(
+                [driver_dnf_rates.get(d, team_rate[i]) for i, d in enumerate(drivers)],
+                np.float32,
+            ),
+            team_dnf_rate=team_rate,
+            pit_loss=float(circuit_info.get("pit_loss", 22.0)),
+            overtake_delta=float(circuit_info.get("overtake_delta", 0.8)),
+            track_condition=track_condition,
+            compound_table=dynamic_compounds,
+        )

@@ -1,0 +1,187 @@
+"""Walk-forward season backtest.
+
+Capability-parity rebuild of the reference harness
+(/root/reference/src/validation.py:161-209): fresh predictor per season (no
+leakage), per race predict -> fetch actuals -> score -> update Elo with the
+actual results, skipping failed races with a warning.
+
+Fixes and additions over the reference:
+  * the actual-result Elo updates actually apply. In the reference, ordered
+    abbreviation lists raise inside elo.py's tuple unpacking and the
+    exception is swallowed (validation.py:191-199 — SURVEY.md §3.2 ⚠), so the
+    walk-forward never learns within the backtested season. Set
+    `reference_compat_elo_noop=True` to reproduce that behavior for A/B runs.
+  * checkpoint/resume: per-race results append to a JSONL file; a resumed
+    backtest replays completed races' Elo updates (so the predictor state
+    matches) and continues from the first missing race (SURVEY.md §5).
+  * `n_simulations` and the prediction seed are honored and deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from monte_carlo_gp_tpu.validate.metrics import (
+    brier_score,
+    calibration_analysis,
+    podium_accuracy,
+)
+
+
+def get_races(loader, season: int) -> list[str]:
+    """Past, non-testing event names for a season (validation.py:8-27)."""
+    return [ev["EventName"] for ev in loader.past_events(season)]
+
+
+def get_actual_results(loader, season: int, race: str) -> dict:
+    """Pole / winner / podium plus ordered result lists for Elo updates
+    (validation.py:30-79)."""
+    pole = winner = None
+    podium: list[str] = []
+    quali_results: list[str] = []
+    race_results: list[str] = []
+
+    q = loader.load_results(season, race, "Q")
+    if q is not None and not q.empty and "Position" in q.columns:
+        q_valid = q.dropna(subset=["Position"]).copy()
+        if not q_valid.empty:
+            q_valid["Position"] = q_valid["Position"].astype(int)
+            ordered = q_valid.sort_values("Position")
+            quali_results = ordered["Abbreviation"].tolist()
+            top = ordered[ordered["Position"] == 1]
+            pole = top["Abbreviation"].iloc[0] if not top.empty else None
+
+    r = loader.load_results(season, race, "R")
+    if r is not None and not r.empty and "Position" in r.columns:
+        r_valid = r.dropna(subset=["Position"]).copy()
+        if not r_valid.empty:
+            r_valid["Position"] = r_valid["Position"].astype(int)
+            ordered = r_valid.sort_values("Position")
+            race_results = ordered["Abbreviation"].tolist()
+            top = ordered[ordered["Position"] == 1]
+            winner = top["Abbreviation"].iloc[0] if not top.empty else None
+            podium = ordered[ordered["Position"] <= 3]["Abbreviation"].tolist()
+
+    return {
+        "pole": pole,
+        "winner": winner,
+        "podium": podium,
+        "quali_results": quali_results,
+        "race_results": race_results,
+    }
+
+
+def _checkpoint_read(path: Path) -> dict[tuple[int, str], dict]:
+    done = {}
+    if path.exists():
+        for line in path.read_text().splitlines():
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            done[(rec["season"], rec["race"])] = rec
+    return done
+
+
+def backtest_model(
+    predictor_factory,
+    seasons: list[int],
+    seed: int = 42,
+    n_simulations: int = 10_000,
+    checkpoint_path: str | Path | None = None,
+    reference_compat_elo_noop: bool = False,
+    verbose: bool = True,
+) -> dict:
+    """Run the walk-forward backtest and score it.
+
+    Args:
+      predictor_factory: zero-arg callable returning a fresh F1Predictor-like
+        object (class or closure over data-backend configuration).
+      seasons: seasons to walk, each with a fresh predictor (leakage control,
+        validation.py:180).
+      seed: base seed; each race's Monte Carlo uses fold (seed, season, race
+        index) so results are order-independent and reproducible.
+      checkpoint_path: optional JSONL file for resumable progress.
+
+    Returns the reference's result dict: pole_brier, win_brier,
+    podium_accuracy, calibration_curve, n_races.
+    """
+    ckpt = Path(checkpoint_path) if checkpoint_path else None
+    done = _checkpoint_read(ckpt) if ckpt else {}
+
+    predictions, actuals = [], []
+    for season in seasons:
+        predictor = predictor_factory()
+        loader = predictor.data_loader
+        races = get_races(loader, season)
+        for race_idx, race in enumerate(races):
+            key = (season, race)
+            if key in done:
+                rec = done[key]
+                predictions.append(rec["prediction"])
+                actuals.append(rec["actual"])
+                _apply_actual_elo(
+                    predictor, rec["actual"], reference_compat_elo_noop
+                )
+                continue
+            try:
+                pred = predictor.predict_weekend(
+                    season,
+                    race,
+                    n_simulations=n_simulations,
+                    seed=seed * 1_000_003 + season * 1_000 + race_idx,
+                )
+                act = get_actual_results(loader, season, race)
+                slim = {
+                    "pole_probabilities": pred["pole_probabilities"],
+                    "win_probabilities": pred["win_probabilities"],
+                    "podium_probabilities": pred["podium_probabilities"],
+                }
+                predictions.append(slim)
+                actuals.append(act)
+                _apply_actual_elo(predictor, act, reference_compat_elo_noop)
+                if ckpt:
+                    ckpt.parent.mkdir(parents=True, exist_ok=True)
+                    with ckpt.open("a") as f:
+                        f.write(
+                            json.dumps(
+                                {
+                                    "season": season,
+                                    "race": race,
+                                    "prediction": slim,
+                                    "actual": act,
+                                }
+                            )
+                            + "\n"
+                        )
+            except Exception as e:  # noqa: BLE001 — skip bad races (validation.py:201)
+                if verbose:
+                    print(f"Skipping {season} {race}: {e}")
+
+    return {
+        "pole_brier": brier_score(
+            [p["pole_probabilities"] for p in predictions],
+            [a["pole"] for a in actuals],
+        ),
+        "win_brier": brier_score(
+            [p["win_probabilities"] for p in predictions],
+            [a["winner"] for a in actuals],
+        ),
+        "podium_accuracy": podium_accuracy(predictions, actuals),
+        "calibration_curve": calibration_analysis(predictions, actuals),
+        "n_races": len(predictions),
+    }
+
+
+def _apply_actual_elo(predictor, act: dict, compat_noop: bool) -> None:
+    """Walk-forward Elo updates from actual results. With compat_noop the
+    reference's silent no-op defect is reproduced (nothing happens)."""
+    if compat_noop:
+        return
+    try:
+        if act.get("quali_results"):
+            predictor.elo_system.update_quali_ratings(act["quali_results"])
+        if act.get("race_results"):
+            predictor.elo_system.update_race_ratings(act["race_results"])
+    except Exception:  # noqa: BLE001 — mirror reference tolerance (validation.py:199)
+        pass

@@ -1,0 +1,134 @@
+"""Validation metrics (exact values) and the walk-forward backtest harness
+(end-to-end on synthetic data, checkpoint/resume)."""
+
+import json
+
+import pytest
+
+from monte_carlo_gp_tpu.data.loader import F1DataLoader
+from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
+from monte_carlo_gp_tpu.models.predictor import F1Predictor
+from monte_carlo_gp_tpu.validate.backtest import (
+    backtest_model,
+    get_actual_results,
+    get_races,
+)
+from monte_carlo_gp_tpu.validate.metrics import (
+    brier_score,
+    calibration_analysis,
+    podium_accuracy,
+)
+
+
+# -- metrics ----------------------------------------------------------------
+
+
+def test_brier_score_exact():
+    preds = [{"A": 0.8, "B": 0.2}]
+    # actual A: ((0.8-1)^2 + (0.2-0)^2)/2 = (0.04+0.04)/2 = 0.04
+    assert brier_score(preds, ["A"]) == pytest.approx(0.04)
+    # actual B: ((0.8)^2 + (0.8)^2)/2 = 0.64
+    assert brier_score(preds, ["B"]) == pytest.approx(0.64)
+    # skipped races
+    assert brier_score(preds, [None]) == 1.0
+    assert brier_score([{}], ["A"]) == 1.0
+    # invalid probabilities skipped
+    assert brier_score([{"A": 1.5}], ["A"]) == 1.0
+
+
+def test_podium_accuracy_exact():
+    preds = [{"podium_probabilities": {"A": 0.9, "B": 0.8, "C": 0.7, "D": 0.1}}]
+    acts = [{"podium": ["A", "B", "D"]}]
+    assert podium_accuracy(preds, acts) == pytest.approx(2 / 3)
+    assert podium_accuracy(preds, [{"podium": []}]) == 0.0
+
+
+def test_calibration_analysis_shapes():
+    preds = [
+        {"win_probabilities": {f"D{i}": (0.05 * (i % 20)) for i in range(20)}}
+        for _ in range(10)
+    ]
+    acts = [{"winner": "D19"} for _ in range(10)]
+    out = calibration_analysis(preds, acts)
+    assert len(out["prob_true"]) == len(out["prob_pred"]) > 0
+    assert calibration_analysis([], []) == {"prob_true": [], "prob_pred": []}
+
+
+# -- actuals extraction -------------------------------------------------------
+
+
+def test_get_actual_results(tmp_path):
+    backend = SyntheticBackend(seed=5, n_events=2)
+    loader = F1DataLoader(cache_dir=tmp_path, backend=backend)
+    races = get_races(loader, 2024)
+    assert races == ["Bahrain Grand Prix", "Saudi Arabia Grand Prix"]
+    act = get_actual_results(loader, 2024, races[0])
+    assert act["winner"] == act["race_results"][0]
+    assert act["pole"] == act["quali_results"][0]
+    assert act["podium"] == act["race_results"][:3]
+    assert len(act["race_results"]) == 20
+
+
+# -- backtest harness ----------------------------------------------------------
+
+
+def _factory(tmp_path, n_events=2):
+    def make():
+        return F1Predictor(
+            cache_dir=tmp_path,
+            backend=SyntheticBackend(seed=5, n_events=n_events),
+        )
+
+    return make
+
+
+@pytest.mark.slow
+def test_backtest_end_to_end(tmp_path):
+    results = backtest_model(
+        _factory(tmp_path), [2024], seed=42, n_simulations=400, verbose=False
+    )
+    assert results["n_races"] == 2
+    assert 0.0 <= results["pole_brier"] <= 1.0
+    assert 0.0 <= results["win_brier"] <= 1.0
+    assert 0.0 <= results["podium_accuracy"] <= 1.0
+    # deterministic under the same seed
+    again = backtest_model(
+        _factory(tmp_path), [2024], seed=42, n_simulations=400, verbose=False
+    )
+    assert again["win_brier"] == results["win_brier"]
+
+
+@pytest.mark.slow
+def test_backtest_checkpoint_resume(tmp_path):
+    ckpt = tmp_path / "progress.jsonl"
+    first = backtest_model(
+        _factory(tmp_path), [2024], seed=42, n_simulations=400,
+        checkpoint_path=ckpt, verbose=False,
+    )
+    lines = [json.loads(l) for l in ckpt.read_text().splitlines()]
+    assert len(lines) == 2 and {l["race"] for l in lines} == {
+        "Bahrain Grand Prix", "Saudi Arabia Grand Prix"
+    }
+    # resume: all races come from the checkpoint, results identical
+    resumed = backtest_model(
+        _factory(tmp_path), [2024], seed=999, n_simulations=7,  # would differ if re-run
+        checkpoint_path=ckpt, verbose=False,
+    )
+    assert resumed["win_brier"] == first["win_brier"]
+    assert resumed["n_races"] == 2
+
+
+@pytest.mark.slow
+def test_reference_compat_elo_noop_differs(tmp_path):
+    """The corrected walk-forward Elo updates must change later-race
+    predictions relative to the reference's silent no-op mode."""
+    fixed = backtest_model(
+        _factory(tmp_path, n_events=3), [2024], seed=1, n_simulations=400,
+        verbose=False,
+    )
+    compat = backtest_model(
+        _factory(tmp_path, n_events=3), [2024], seed=1, n_simulations=400,
+        reference_compat_elo_noop=True, verbose=False,
+    )
+    assert fixed["n_races"] == compat["n_races"] == 3
+    assert fixed["pole_brier"] != compat["pole_brier"]
