@@ -1,0 +1,105 @@
+"""Benchmark harness: race simulations/second/chip at 20 drivers x 57 laps.
+
+Prints ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference (dan-lee-gh/monte-carlo-gp) is a serial pure-Python
+engine that completes ~10k sims in minutes-order time on CPU — order 500
+sims/sec (BASELINE.md "reference comparison point"). vs_baseline = value/500.
+
+Run on real TPU hardware (the default interpreter here registers the TPU
+backend). Human-readable diagnostics go to stderr; stdout carries only the
+JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SIMS_PER_SEC = 500.0  # serial Python reference, CPU (BASELINE.md)
+N_DRIVERS = 20
+TOTAL_LAPS = 57
+N_SIMS = 1_048_576
+SIMS_PER_BLOCK = 262_144
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def standard_params():
+    from monte_carlo_gp_tpu.config import make_sim_params
+
+    d = N_DRIVERS
+    rng = np.random.default_rng(7)
+    grid = np.exp(
+        -((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 8.0
+    ).astype(np.float32)
+    grid /= grid.sum(axis=1, keepdims=True)
+    return make_sim_params(
+        grid_probs=grid,
+        base_pace=90.0 + 0.06 * np.arange(d),
+        tire_deg=np.clip(0.05 + 0.015 * rng.standard_normal(d), 0.01, 0.15),
+        variance=np.full(d, 0.15, np.float32),
+        dnf_rate=np.full(d, 0.0008, np.float32),
+        team_dnf_rate=np.full(d, 0.002, np.float32),
+        pit_loss=21.0,
+        overtake_delta=0.6,
+    )
+
+
+def main() -> None:
+    import jax
+
+    from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+    devices = jax.devices()
+    log(f"devices: {devices}")
+    params = standard_params()
+    key = jax.random.PRNGKey(42)
+
+    block = min(SIMS_PER_BLOCK, N_SIMS)
+    t0 = time.perf_counter()
+    probs = run_monte_carlo(
+        params, key, N_SIMS, TOTAL_LAPS, sims_per_block=block
+    )
+    probs.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    log(f"cold (compile+run): {compile_s:.2f}s")
+
+    # Best of 3 warm runs.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probs = run_monte_carlo(
+            params, key, N_SIMS, TOTAL_LAPS, sims_per_block=block
+        )
+        probs.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    arr = np.asarray(probs)
+    assert np.allclose(arr.sum(axis=1), 1.0, atol=1e-4), "invalid histogram"
+
+    sims_per_sec = N_SIMS / best
+    log(
+        f"{N_SIMS} sims x {TOTAL_LAPS} laps x {N_DRIVERS} drivers: "
+        f"best {best:.3f}s -> {sims_per_sec/1e6:.3f}M sims/s/chip "
+        f"(runs: {[f'{t:.3f}' for t in times]})"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "race_sims_per_sec_per_chip_20drv_57laps",
+                "value": round(sims_per_sec, 1),
+                "unit": "sims/s",
+                "vs_baseline": round(sims_per_sec / REFERENCE_SIMS_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

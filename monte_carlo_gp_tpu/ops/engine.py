@@ -16,6 +16,7 @@ bitwise identical per (seed, n_sims, block size) under any device sharding.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -35,12 +36,22 @@ DEFAULT_BLOCK = 131_072  # sims per block on TPU (state ~130 MB @ D=20)
 
 
 def simulate_races_state(
-    params: SimParams, key: jax.Array, n_sims: int, total_laps: int
+    params: SimParams,
+    key: jax.Array,
+    n_sims: int,
+    total_laps: int,
+    race_laps: jax.Array | None = None,
 ):
     """Simulate `n_sims` races; return ((n_sims, D) 1-indexed finish
     positions, final `Cars` state). The state return is for tests/debugging.
 
     One grid sample + race per simulation (reference simulation.py:83-94).
+
+    `race_laps` (optional traced int32 scalar <= total_laps) enables a single
+    compile to serve circuits with different lap counts: the scan always runs
+    `total_laps` iterations but laps beyond `race_laps` are masked no-ops.
+    Used by the multi-race vmap path (parallel/sharded.py) where lap counts
+    vary across the batched races (SURVEY.md §7 "variable laps" hard part).
     """
     start_pos = sample_grid(
         jax.random.fold_in(key, rng.STREAM_GRID),
@@ -49,14 +60,26 @@ def simulate_races_state(
         params.active,
     )
     cars = init_cars(params, start_pos)
+    # Padding slots beyond the real entry list are retired before the start
+    # so they classify last and never interact with live cars.
+    inactive = ~params.active[None, :]
+    if params.active.ndim:  # cheap no-op when all active
+        cars = dataclasses.replace(cars, dnf=cars.dnf | inactive)
     cars = simulate_lap_1(params, cars, key)
 
     drs_until0 = jnp.zeros((n_sims,), jnp.int32)
+    laps_total = race_laps if race_laps is not None else jnp.int32(total_laps)
 
     def step(carry, lap):
         cars, drs_until = carry
-        cars, drs_until = lap_step(params, total_laps, cars, drs_until, lap, key)
-        return (cars, drs_until), None
+        new_cars, new_drs = lap_step(params, laps_total, cars, drs_until, lap, key)
+        if race_laps is not None:
+            live = lap <= laps_total
+            new_cars = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), new_cars, cars
+            )
+            new_drs = jnp.where(live, new_drs, drs_until)
+        return (new_cars, new_drs), None
 
     laps = jnp.arange(2, total_laps + 1, dtype=jnp.int32)
     (cars, _), _ = jax.lax.scan(step, (cars, drs_until0), laps)
@@ -64,10 +87,14 @@ def simulate_races_state(
 
 
 def simulate_races(
-    params: SimParams, key: jax.Array, n_sims: int, total_laps: int
+    params: SimParams,
+    key: jax.Array,
+    n_sims: int,
+    total_laps: int,
+    race_laps: jax.Array | None = None,
 ) -> jax.Array:
     """Simulate `n_sims` races; return (n_sims, D) 1-indexed finish positions."""
-    return simulate_races_state(params, key, n_sims, total_laps)[0]
+    return simulate_races_state(params, key, n_sims, total_laps, race_laps)[0]
 
 
 def _histogram(positions: jax.Array, d: int) -> jax.Array:

@@ -179,7 +179,10 @@ def simulate_lap_1(params: SimParams, cars: Cars, key: jax.Array) -> Cars:
     variance, no DRS (reference `_simulate_lap_1`, simulation.py:275-311)."""
     shape = cars.cum_time.shape
     u_dnf = jax.random.uniform(rng.lap_stream(key, 1, rng.STREAM_DNF), shape)
-    lap1_dnf = u_dnf < params.team_dnf_rate[None, :] * LAP_1_DNF_MULTIPLIER
+    # Respect pre-retired cars (padding slots beyond the real entry list).
+    lap1_dnf = ~cars.dnf & (
+        u_dnf < params.team_dnf_rate[None, :] * LAP_1_DNF_MULTIPLIER
+    )
 
     noise = jax.random.normal(rng.lap_stream(key, 1, rng.STREAM_LAP_NOISE), shape)
     base_lap = _clean_lap_time(params, cars, noise)
@@ -192,10 +195,10 @@ def simulate_lap_1(params: SimParams, cars: Cars, key: jax.Array) -> Cars:
     start_delta = jnp.where(position <= 3, jnp.minimum(start_delta, 1.0), start_delta)
     lap_time = base_lap - start_delta * 0.5
 
-    alive = ~lap1_dnf
+    alive = ~cars.dnf & ~lap1_dnf
     cars = dataclasses.replace(
         cars,
-        dnf=lap1_dnf,
+        dnf=cars.dnf | lap1_dnf,
         dnf_lap=jnp.where(lap1_dnf, 1, cars.dnf_lap),
         cum_time=jnp.where(alive, cars.cum_time + lap_time, cars.cum_time),
         tire_age=jnp.where(alive, cars.tire_age + 1, cars.tire_age),
@@ -256,7 +259,7 @@ def lap_step(
     tire_age = jnp.where(
         m_red, 0, jnp.where(age_refund, jnp.maximum(0, cars.tire_age - 1), cars.tire_age)
     )
-    remaining = jnp.int32(total_laps) - lap
+    remaining = jnp.asarray(total_laps, jnp.int32) - lap
     red_compound = _condition_compound(params.track_condition, remaining)
     compound = jnp.where(m_red, red_compound, cars.compound)
     used_mask = jnp.where(m_red, cars.used_mask | (1 << red_compound), cars.used_mask)
