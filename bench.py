@@ -53,34 +53,49 @@ def standard_params():
 def main() -> None:
     import jax
 
-    from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
-
     devices = jax.devices()
     log(f"devices: {devices}")
     params = standard_params()
     key = jax.random.PRNGKey(42)
+    on_tpu = devices[0].platform == "tpu"
 
-    block = min(SIMS_PER_BLOCK, N_SIMS)
+    # Backend: the fused Pallas whole-race kernel on TPU (state resident in
+    # VMEM across all laps); the XLA lap-scan engine elsewhere.
+    if on_tpu:
+        from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas
+
+        def run(k):
+            return run_monte_carlo_pallas(
+                params, k, N_SIMS, TOTAL_LAPS, sims_per_tile=2048
+            )
+
+        log("backend: pallas (fused whole-race kernel)")
+    else:
+        from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+        def run(k):
+            return run_monte_carlo(
+                params, k, N_SIMS, TOTAL_LAPS,
+                sims_per_block=min(SIMS_PER_BLOCK, N_SIMS),
+            )
+
+        log("backend: xla lap-scan")
+
     t0 = time.perf_counter()
-    probs = run_monte_carlo(
-        params, key, N_SIMS, TOTAL_LAPS, sims_per_block=block
-    )
-    probs.block_until_ready()
+    arr = np.asarray(run(key))
     compile_s = time.perf_counter() - t0
     log(f"cold (compile+run): {compile_s:.2f}s")
 
-    # Best of 3 warm runs.
+    # Best of 4 warm runs with distinct keys; np.asarray forces full host
+    # materialization (block_until_ready alone under-reports on the remote
+    # TPU tunnel).
     times = []
-    for _ in range(3):
+    for i in range(4):
         t0 = time.perf_counter()
-        probs = run_monte_carlo(
-            params, key, N_SIMS, TOTAL_LAPS, sims_per_block=block
-        )
-        probs.block_until_ready()
+        arr = np.asarray(run(jax.random.fold_in(key, i)))
         times.append(time.perf_counter() - t0)
     best = min(times)
 
-    arr = np.asarray(probs)
     assert np.allclose(arr.sum(axis=1), 1.0, atol=1e-4), "invalid histogram"
 
     sims_per_sec = N_SIMS / best

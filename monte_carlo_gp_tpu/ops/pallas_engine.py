@@ -1,0 +1,470 @@
+"""Fused whole-race Pallas TPU kernel.
+
+The XLA engine (ops/engine.py) round-trips every (n_sims, D) state array
+through HBM once per lap — measured HBM-bound at ~0.57M sims/s/chip. This
+kernel keeps the ENTIRE car state resident in VMEM for all laps of a tile of
+simulations: HBM traffic is one parameter read and one (D, D) histogram
+write per tile, making the engine compute-bound on the VPU.
+
+Design (driver-major layout, (D, S_tile) blocks):
+  * grid = one program per tile of `sims_per_tile` simulations;
+  * per-tile counter-based seeding (seed array is scalar-prefetched), all
+    draws from the on-core PRNG in a fixed order -> bitwise reproducible for
+    a fixed (seed, tile size), independent of how tiles map to chips;
+  * every sort of the reference event model is an unrolled O(D^2) pairwise
+    rank loop over (D, S) registers — no gathers, no scatters, no (S, D, D)
+    materialization;
+  * "value of car ahead" and the overtake time-rewrite chain are relational
+    one-row broadcasts (out = where(rank_j == rank-1, q_j, out));
+  * the mandatory two-compound rule tracks three booleans instead of a
+    bitmask.
+
+Event-model semantics are identical to ops/lap_engine.py (which documents
+the reference mapping, simulation.py line by line); equality with the XLA
+engine is distributional (different RNG stream layout), validated in
+tests/test_pallas_engine.py. Produces its own deterministic stream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from monte_carlo_gp_tpu import config as cfg
+from monte_carlo_gp_tpu.config import SimParams
+
+DEFAULT_SIMS_PER_TILE = 2048
+INF = 1e30
+NAN = float("nan")
+
+# scalar pack layout (SMEM)
+(
+    _PIT_LOSS, _OVERTAKE_DELTA, _DRS_DELTA, _SC_P, _VSC_P, _RED_P,
+    _DIRTY_THRESH, _DIRTY_PEN, _TRACK_COND,
+    _CPACE0, _CPACE1, _CPACE2, _CPACE3, _CPACE4,
+    _CDEG0, _CDEG1, _CDEG2, _CDEG3, _CDEG4,
+    _COPT0, _COPT1, _COPT2, _COPT3, _COPT4,
+    _N_SCALARS,
+) = range(25)
+
+# per-driver parameter matrix columns (VMEM, (D, 8))
+_BASE, _DEG, _VAR, _DNF, _TEAMDNF, _ACTIVE = range(6)
+_N_PCOLS = 8  # padded to a lane-friendly width
+
+
+def _pack_inputs(params: SimParams):
+    d = params.n_drivers
+    pmat = jnp.zeros((d, _N_PCOLS), jnp.float32)
+    pmat = pmat.at[:, _BASE].set(params.base_pace)
+    pmat = pmat.at[:, _DEG].set(params.tire_deg)
+    pmat = pmat.at[:, _VAR].set(params.variance)
+    pmat = pmat.at[:, _DNF].set(params.dnf_rate)
+    pmat = pmat.at[:, _TEAMDNF].set(params.team_dnf_rate)
+    pmat = pmat.at[:, _ACTIVE].set(params.active.astype(jnp.float32))
+    scal = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    params.pit_loss, params.overtake_delta, params.drs_delta,
+                    params.sc_prob, params.vsc_prob, params.red_flag_prob,
+                    params.dirty_air_threshold, params.dirty_air_penalty,
+                    params.track_condition.astype(jnp.float32),
+                ]
+            ),
+            params.compound_pace,
+            params.compound_deg,
+            params.compound_optimal.astype(jnp.float32),
+        ]
+    )
+    safe = jnp.maximum(params.grid_probs, 0.0)
+    grid_log = jnp.where(safe > 0, jnp.log(jnp.maximum(safe, 1e-38)), -INF)
+    return pmat, scal, grid_log.astype(jnp.float32)
+
+
+def _race_kernel(total_laps: int, d: int, s: int):
+    """Build the kernel body for static (laps, drivers, tile sims)."""
+
+    def uniform():
+        bits = pltpu.bitcast(pltpu.prng_random_bits((d, s)), jnp.uint32)
+        # >>8 leaves 24 bits, always positive, so the int32 view is exact
+        # (Mosaic has no uint32 -> f32 cast).
+        top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+        return top24.astype(jnp.float32) * (1.0 / 16777216.0)
+
+    def normal():
+        u1 = jnp.maximum(uniform(), 5.9604645e-8)
+        u2 = uniform()
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(6.2831853 * u2)
+
+    def rank_of(key):
+        """Ascending dense ranks over the driver axis, ties by row index."""
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (d, s), 0)
+        r = jnp.zeros((d, s), jnp.int32)
+        for j in range(d):
+            kj = key[j : j + 1, :]
+            before = (kj < key) | ((kj == key) & (j < row_iota))
+            r += before.astype(jnp.int32)
+        return r
+
+    def row_pick(mask, q):
+        """sum_j where(mask_j, q_j, 0) -> (1, S); mask selects <=1 row/lane."""
+        return jnp.sum(jnp.where(mask, q, 0.0), axis=0, keepdims=True)
+
+    def value_of_ahead(q, rank, fill):
+        """out[i] = q[j] with rank[j] == rank[i]-1; leaders get `fill`."""
+        out = jnp.full((d, s), fill, jnp.float32)
+        rm1 = rank - 1
+        for j in range(d):
+            out = jnp.where(rank[j : j + 1, :] == rm1, q[j : j + 1, :], out)
+        return out
+
+    def compound_scalar(table0, scal, compound):
+        """5-entry table lookup by compound id via select chain."""
+        out = jnp.zeros(compound.shape, jnp.float32)
+        for c in range(5):
+            out = jnp.where(compound == c, scal[table0 + c], out)
+        return out
+
+    def condition_compound(track_cond, remaining):
+        dry = jnp.where(
+            remaining > 30, cfg.HARD, jnp.where(remaining > 15, cfg.MEDIUM, cfg.SOFT)
+        )
+        return jnp.where(
+            track_cond == cfg.FULL_WET,
+            cfg.WET,
+            jnp.where(track_cond == cfg.DAMP, cfg.INTERMEDIATE, dry),
+        ).astype(jnp.int32)
+
+    def kernel(seeds_ref, pmat_ref, scal_ref, gridlog_ref, out_ref):
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (d, s), 0)
+        tile = pl.program_id(0)
+        pltpu.prng_seed(seeds_ref[tile])
+        scal = scal_ref
+        active = pmat_ref[:, _ACTIVE : _ACTIVE + 1] > 0.5  # (D, 1)
+        active_b = jnp.broadcast_to(active, (d, s))
+        base_pace = pmat_ref[:, _BASE : _BASE + 1]
+        driver_deg = pmat_ref[:, _DEG : _DEG + 1]
+        variance = pmat_ref[:, _VAR : _VAR + 1]
+        dnf_rate = pmat_ref[:, _DNF : _DNF + 1]
+        team_dnf = pmat_ref[:, _TEAMDNF : _TEAMDNF + 1]
+        track_cond = scal[_TRACK_COND].astype(jnp.int32)
+        drs_delta = scal[_DRS_DELTA]
+        overtake_delta = scal[_OVERTAKE_DELTA]
+
+        # ---- grid sampling: masked Gumbel-max per slot ---------------------
+        remaining = active_b
+        start_pos = jnp.full((d, s), d, jnp.int32)
+        for pos in range(d):
+            col = gridlog_ref[:, pos : pos + 1]  # (D, 1)
+            masked = jnp.where(remaining, col, -INF)
+            col_max = jnp.max(masked, axis=0, keepdims=True)
+            col_empty = col_max <= -INF / 2
+            logits = jnp.where(col_empty & remaining, 0.0, masked)
+            u = jnp.maximum(uniform(), 5.9604645e-8)
+            score = logits + (-jnp.log(-jnp.log(u)))
+            score = jnp.where(remaining, score, -INF)
+            best = jnp.max(score, axis=0, keepdims=True)
+            is_best = (score == best) & remaining
+            first = jnp.min(jnp.where(is_best, row_iota, d), axis=0, keepdims=True)
+            win = row_iota == first  # exactly one row per lane (or none)
+            any_rem = jnp.max(remaining.astype(jnp.int32), axis=0, keepdims=True) > 0
+            take = win & any_rem
+            start_pos = jnp.where(take, pos, start_pos)
+            remaining = remaining & ~take
+
+        # ---- init cars (simulation.py:244-273) ------------------------------
+        top10 = start_pos < 10
+        dry_compound = jnp.where(top10, cfg.SOFT, cfg.MEDIUM)
+        compound = jnp.where(
+            track_cond == cfg.FULL_WET,
+            cfg.WET,
+            jnp.where(track_cond == cfg.DAMP, cfg.INTERMEDIATE, dry_compound),
+        ).astype(jnp.int32)
+        age = jnp.where((track_cond == cfg.DRY) & top10, 4.0, 0.0)
+        used_s = compound == cfg.SOFT
+        used_m = compound == cfg.MEDIUM
+        used_h = compound == cfg.HARD
+        fuel = jnp.full((d, s), 110.0, jnp.float32)
+        cum = jnp.zeros((d, s), jnp.float32)
+        last_lap = jnp.zeros((d, s), jnp.float32)
+        behind = jnp.zeros((d, s), jnp.float32)
+        dnf = ~active_b
+        dnf_lap = jnp.zeros((d, s), jnp.float32)
+        drs = jnp.zeros((d, s), jnp.bool_)
+        laps_done = jnp.zeros((d, s), jnp.float32)
+        drs_until = jnp.zeros((1, s), jnp.float32)
+
+        def clean_lap_time(compound, age, fuel, drs, noise):
+            factor = jnp.where(driver_deg > 0, driver_deg / 0.05, 1.0)
+            comp_deg = compound_scalar(_CDEG0, scal, compound)
+            comp_pace = compound_scalar(_CPACE0, scal, compound)
+            return (
+                base_pace
+                + age * comp_deg * factor
+                - (110.0 - fuel) * 0.03
+                + comp_pace
+                - jnp.where(drs, drs_delta, 0.0)
+                + variance * noise
+            )
+
+        # ---- lap 1 (simulation.py:275-311) ----------------------------------
+        u_dnf = uniform()
+        lap1_dnf = ~dnf & (u_dnf < team_dnf * 4.0)
+        noise = normal()
+        base_lap = clean_lap_time(compound, age, fuel, drs, noise)
+        position = start_pos.astype(jnp.float32) + 1.0
+        sigma = jnp.minimum(1.5, 0.5 + position * 0.1)
+        start_delta = sigma * normal()
+        start_delta = jnp.where(
+            position <= 3, jnp.minimum(start_delta, 1.0), start_delta
+        )
+        lap_time = base_lap - start_delta * 0.5
+        alive = ~dnf & ~lap1_dnf
+        dnf = dnf | lap1_dnf
+        dnf_lap = jnp.where(lap1_dnf, 1.0, dnf_lap)
+        cum = jnp.where(alive, cum + lap_time, cum)
+        age = jnp.where(alive, age + 1.0, age)
+        fuel = jnp.where(alive, jnp.maximum(0.0, fuel - 1.5), fuel)
+        # position update lap 1 (no DRS)
+        key1 = jnp.where(dnf, INF, cum)
+        leader = jnp.min(key1, axis=0, keepdims=True)
+        behind = jnp.where(dnf, behind, cum - leader)
+
+        # ---- laps 2..L -------------------------------------------------------
+        def lap_body(lap_i, state):
+            # Carry is all-f32: Mosaic cannot legalize scf.for with mixed
+            # bool/int vector carries. Decode to typed values on entry.
+            (cum, last_lap, behind, age, compound_f, used_s_f, used_m_f,
+             used_h_f, fuel, dnf_f, dnf_lap, drs_f, laps_done,
+             drs_until) = state
+            compound = compound_f.astype(jnp.int32)
+            used_s = used_s_f > 0.5
+            used_m = used_m_f > 0.5
+            used_h = used_h_f > 0.5
+            dnf = dnf_f > 0.5
+            drs = drs_f > 0.5
+            lap = lap_i.astype(jnp.float32)
+            act = ~dnf
+
+            # race control draws (red -> SC -> VSC)
+            u_rc = uniform()
+            is_red = u_rc[0:1, :] < scal[_RED_P]
+            is_sc = ~is_red & (u_rc[1:2, :] < scal[_SC_P])
+            is_vsc = ~is_red & ~is_sc & (u_rc[2:3, :] < scal[_VSC_P])
+            vsc_refund = is_vsc & (u_rc[3:4, :] < 0.3)
+
+            key_t = jnp.where(dnf, INF, cum)
+            rank = rank_of(key_t)
+            leader = jnp.min(key_t, axis=0, keepdims=True)
+            leader_laps = row_pick((rank == 0) & act, laps_done)
+            rank_f = rank.astype(jnp.float32)
+            laps_down = leader_laps - laps_done
+            sc_time = leader + rank_f * 0.5 + jnp.where(
+                laps_down > 0, laps_down * 90.0, 0.0
+            )
+            vsc_time = leader + (cum - leader) * 0.8
+            red_time = leader + rank_f * 0.1
+
+            m_red = is_red & act
+            m_sc = is_sc & act
+            m_vsc = is_vsc & act
+            any_event = m_red | m_sc | m_vsc
+            cum = jnp.where(
+                m_red, red_time,
+                jnp.where(m_sc, sc_time, jnp.where(m_vsc, vsc_time, cum)),
+            )
+            behind = jnp.where(any_event, cum - leader, behind)
+            refund = m_sc | (vsc_refund & act)
+            age = jnp.where(
+                m_red, 0.0, jnp.where(refund, jnp.maximum(0.0, age - 1.0), age)
+            )
+            remaining = jnp.float32(total_laps) - lap
+            red_compound = condition_compound(track_cond, remaining)
+            compound = jnp.where(m_red, red_compound, compound)
+            used_s = used_s | (m_red & (red_compound == cfg.SOFT))
+            used_m = used_m | (m_red & (red_compound == cfg.MEDIUM))
+            used_h = used_h | (m_red & (red_compound == cfg.HARD))
+            drs_until = jnp.where(
+                is_red | is_sc, lap + 2.0, jnp.where(is_vsc, lap + 1.0, drs_until)
+            )
+
+            # dirty air: last lap of the car one (active) rank ahead
+            rank2 = rank_of(jnp.where(dnf, INF, cum))
+            ahead_llt = value_of_ahead(last_lap, rank2, 0.0)
+
+            # DNF draw + lap time
+            u_d = uniform()
+            new_dnf = act & (u_d < dnf_rate)
+            alive = act & ~new_dnf
+            clean = clean_lap_time(compound, age, fuel, drs, normal())
+            in_dirty = (behind > 0) & (ahead_llt > 0) & (behind < scal[_DIRTY_THRESH])
+            lap_time = jnp.where(
+                in_dirty, jnp.maximum(clean + scal[_DIRTY_PEN], ahead_llt), clean
+            )
+            dnf = dnf | new_dnf
+            dnf_lap = jnp.where(new_dnf, lap, dnf_lap)
+            cum = jnp.where(alive, cum + lap_time, cum)
+            last_lap = jnp.where(alive, lap_time, last_lap)
+            age = jnp.where(alive, age + 1.0, age)
+            fuel = jnp.where(alive, jnp.maximum(0.0, fuel - 1.5), fuel)
+            laps_done = jnp.where(alive, laps_done + 1.0, laps_done)
+
+            # pit stops (simulation.py:433-494)
+            opt = compound_scalar(_COPT0, scal, compound)
+            opt_adj = jnp.where(
+                driver_deg > 0.05,
+                jnp.floor(opt * 0.85),
+                jnp.where(driver_deg < 0.02, jnp.floor(opt * 1.1), opt),
+            )
+            pit = ~dnf & (age > opt_adj) & (remaining > 5)
+            new_compound = condition_compound(track_cond, remaining)
+            n_used_dry = (
+                used_s.astype(jnp.int32)
+                + used_m.astype(jnp.int32)
+                + used_h.astype(jnp.int32)
+            )
+            repeats = (
+                ((new_compound == cfg.SOFT) & used_s)
+                | ((new_compound == cfg.MEDIUM) & used_m)
+                | ((new_compound == cfg.HARD) & used_h)
+            )
+            must_switch = (n_used_dry == 1) & repeats & (track_cond == cfg.DRY)
+            alt = jnp.where(
+                remaining > 20,
+                jnp.where(~used_m, cfg.MEDIUM, cfg.HARD),
+                jnp.where(~used_s, cfg.SOFT, cfg.MEDIUM),
+            )
+            new_compound = jnp.where(must_switch, alt, new_compound).astype(jnp.int32)
+            cum = jnp.where(pit, cum + scal[_PIT_LOSS], cum)
+            compound = jnp.where(pit, new_compound, compound)
+            used_s = used_s | (pit & (new_compound == cfg.SOFT))
+            used_m = used_m | (pit & (new_compound == cfg.MEDIUM))
+            used_h = used_h | (pit & (new_compound == cfg.HARD))
+            age = jnp.where(pit, 0.0, age)
+
+            # overtakes: 3 passes (simulation.py:496-536)
+            pace = jnp.where(dnf, NAN, base_pace + age * driver_deg)
+            pass_active = jnp.ones((1, s), jnp.bool_)
+            for _ in range(3):
+                orank = rank_of(cum)
+                ahead_pace = value_of_ahead(pace, orank, NAN)
+                delta = ahead_pace - pace + jnp.where(drs, drs_delta, 0.0)
+                eligible = (delta > overtake_delta) & (orank > 0)
+                prob = jnp.minimum(0.5, delta * 0.5)
+                swap = eligible & (uniform() < prob) & pass_active
+                swap_f = swap.astype(jnp.float32)
+                for p in range(1, d):
+                    a_mask = orank == p - 1
+                    b_mask = orank == p
+                    cur_ahead = row_pick(a_mask, cum)
+                    swap_p = row_pick(b_mask, swap_f) > 0.5
+                    nb = jnp.maximum(0.1, cur_ahead - 0.1)
+                    cum = jnp.where(a_mask & swap_p, nb + 0.3, cum)
+                    cum = jnp.where(b_mask & swap_p, nb, cum)
+                pass_active = pass_active & (
+                    jnp.max(swap_f, axis=0, keepdims=True) > 0.5
+                )
+
+            # position / DRS update (simulation.py:538-560)
+            key_t = jnp.where(dnf, INF, cum)
+            urank = rank_of(key_t)
+            leader = jnp.min(key_t, axis=0, keepdims=True)
+            behind = jnp.where(dnf, behind, cum - leader)
+            gap_ahead = cum - value_of_ahead(cum, urank, 0.0)
+            drs_disabled = lap <= drs_until
+            drs = (
+                (lap > 2.0)
+                & ~drs_disabled
+                & (urank > 0)
+                & (gap_ahead < 1.0)
+                & ~dnf
+            )
+            f32 = lambda b: b.astype(jnp.float32)
+            return (cum, last_lap, behind, age, compound.astype(jnp.float32),
+                    f32(used_s), f32(used_m), f32(used_h), fuel, f32(dnf),
+                    dnf_lap, f32(drs), laps_done, drs_until)
+
+        f32 = lambda b: b.astype(jnp.float32)
+        state = (cum, last_lap, behind, age, compound.astype(jnp.float32),
+                 f32(used_s), f32(used_m), f32(used_h), fuel, f32(dnf),
+                 dnf_lap, f32(drs), laps_done, drs_until)
+        state = jax.lax.fori_loop(2, total_laps + 1, lap_body, state)
+        (cum, last_lap, behind, age, _compound_f, _us, _um, _uh,
+         fuel, dnf_f, dnf_lap, _drs_f, laps_done, drs_until) = state
+        dnf = dnf_f > 0.5
+
+        # ---- classification (simulation.py:230-242) --------------------------
+        key_t = jnp.where(dnf, INF, cum)
+        active_rank = rank_of(key_t)
+        n_active = jnp.sum((~dnf).astype(jnp.int32), axis=0, keepdims=True)
+        dnf_rank = jnp.zeros((d, s), jnp.int32)
+        for j in range(d):
+            lap_j = dnf_lap[j : j + 1, :]
+            cum_j = cum[j : j + 1, :]
+            greater = (lap_j > dnf_lap) | (
+                (lap_j == dnf_lap)
+                & ((cum_j > cum) | ((cum_j == cum) & (j < row_iota)))
+            )
+            dnf_rank += (greater & dnf[j : j + 1, :] & dnf).astype(jnp.int32)
+        final_pos = jnp.where(dnf, n_active + dnf_rank, active_rank) + 1
+
+        # ---- histogram -------------------------------------------------------
+        cols = []
+        for p in range(d):
+            cols.append(
+                jnp.sum((final_pos == p + 1).astype(jnp.int32), axis=1, keepdims=True)
+            )
+        out_ref[0, :, :] = jnp.concatenate(cols, axis=1)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_sims", "total_laps", "sims_per_tile")
+)
+def run_monte_carlo_pallas(
+    params: SimParams,
+    key: jax.Array,
+    n_sims: int,
+    total_laps: int,
+    sims_per_tile: int = DEFAULT_SIMS_PER_TILE,
+) -> jax.Array:
+    """Pallas backend for `run_monte_carlo`: (D, D) finish probabilities.
+
+    Bitwise deterministic for fixed (key, n_sims, sims_per_tile); matches the
+    XLA engine distributionally (tests/test_pallas_engine.py).
+    """
+    if n_sims % sims_per_tile != 0:
+        raise ValueError(
+            f"n_sims={n_sims} must be a multiple of sims_per_tile={sims_per_tile}"
+        )
+    d = params.n_drivers
+    n_tiles = n_sims // sims_per_tile
+    pmat, scal, grid_log = _pack_inputs(params)
+    seeds = jax.vmap(
+        lambda t: jax.random.randint(
+            jax.random.fold_in(key, t), (), 0, np.iinfo(np.int32).max
+        )
+    )(jnp.arange(n_tiles)).astype(jnp.int32)
+
+    kernel = _race_kernel(total_laps, d, sims_per_tile)
+    counts = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((d, _N_PCOLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((d, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, d, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, d, d), jnp.int32),
+    )(seeds, pmat, scal, grid_log)
+    return jnp.sum(counts, axis=0).astype(jnp.float32) / n_sims

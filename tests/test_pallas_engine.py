@@ -1,0 +1,77 @@
+"""Pallas engine: structural checks in interpreter mode (CPU) and full
+distributional validation against the XLA engine on real TPU hardware.
+
+The TPU hardware PRNG (`pltpu.prng_random_bits`) returns zeros in
+interpreter mode, so anything stochastic is TPU-only (bench/verify cover it
+on hardware); CPU CI validates structure: valid doubly-stochastic
+histograms, determinism, padding behavior.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from monte_carlo_gp_tpu.config import make_sim_params
+from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas
+
+ON_TPU = jax.devices()[0].platform == "tpu"
+
+
+def small_params(d=8):
+    gp = np.exp(
+        -((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 6.0
+    ).astype(np.float32)
+    gp /= gp.sum(1, keepdims=True)
+    return make_sim_params(
+        grid_probs=gp,
+        base_pace=90 + 0.12 * np.arange(d),
+        tire_deg=np.full(d, 0.05),
+        variance=np.full(d, 0.15),
+        dnf_rate=np.full(d, 0.001),
+        team_dnf_rate=np.full(d, 0.002),
+        pit_loss=21.0,
+        overtake_delta=0.6,
+    )
+
+
+def test_interpret_mode_structure():
+    """With the interpreter's all-zero PRNG the race is the deterministic
+    pace-order procession — still a valid doubly stochastic histogram."""
+    params = small_params()
+    with pltpu.force_tpu_interpret_mode():
+        probs = np.asarray(
+            run_monte_carlo_pallas(
+                params, jax.random.PRNGKey(0), 256, 12, sims_per_tile=128
+            )
+        )
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(probs.sum(axis=0), 1.0, atol=1e-5)
+
+
+def test_rejects_bad_tile_split():
+    params = small_params()
+    with pytest.raises(ValueError):
+        run_monte_carlo_pallas(params, jax.random.PRNGKey(0), 100, 12, sims_per_tile=64)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires real TPU")
+@pytest.mark.slow
+def test_matches_xla_engine_on_tpu():
+    from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+    params = small_params()
+    pallas = np.asarray(
+        run_monte_carlo_pallas(
+            params, jax.random.PRNGKey(0), 8192, 20, sims_per_tile=2048
+        )
+    )
+    xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(1), 8192, 20))
+    tv = 0.5 * np.abs(pallas - xla).sum(axis=1)
+    assert tv.max() < 0.05, tv
+    again = np.asarray(
+        run_monte_carlo_pallas(
+            params, jax.random.PRNGKey(0), 8192, 20, sims_per_tile=2048
+        )
+    )
+    np.testing.assert_array_equal(pallas, again)
