@@ -39,6 +39,14 @@ def main():
                         help="Use the deterministic synthetic data backend")
     parser.add_argument("--synthetic-seed", type=int, default=2718)
     parser.add_argument(
+        "--batched", action="store_true",
+        help="Simulate every race of a season as one sharded device batch",
+    )
+    parser.add_argument(
+        "--engine", choices=["auto", "xla", "pallas"], default="auto",
+        help="Simulation backend for non-batched mode",
+    )
+    parser.add_argument(
         "--reference-compat-elo-noop", action="store_true",
         help="Reproduce the reference defect where actual-result Elo updates "
              "silently no-op (SURVEY.md §3.2), for A/B comparison",
@@ -46,7 +54,10 @@ def main():
     args = parser.parse_args()
 
     from monte_carlo_gp_tpu.models.predictor import F1Predictor
-    from monte_carlo_gp_tpu.validate.backtest import backtest_model
+    from monte_carlo_gp_tpu.validate.backtest import (
+        backtest_model,
+        backtest_model_batched,
+    )
 
     def predictor_factory():
         backend = None
@@ -55,7 +66,8 @@ def main():
 
             backend = SyntheticBackend(seed=args.synthetic_seed)
         return F1Predictor(
-            cache_dir=args.cache_dir, offline=args.offline, backend=backend
+            cache_dir=args.cache_dir, offline=args.offline, backend=backend,
+            engine=args.engine,
         )
 
     print(f"\n{'='*60}")
@@ -66,14 +78,23 @@ def main():
     print("Running backtest (this may take several minutes)...")
     print("Loading historical data and simulating predictions...\n")
 
-    results = backtest_model(
-        predictor_factory,
-        args.seasons,
-        seed=args.seed,
-        n_simulations=args.simulations,
-        checkpoint_path=args.checkpoint,
-        reference_compat_elo_noop=args.reference_compat_elo_noop,
-    )
+    if args.batched:
+        results = backtest_model_batched(
+            predictor_factory,
+            args.seasons,
+            seed=args.seed,
+            n_simulations=args.simulations,
+            reference_compat_elo_noop=args.reference_compat_elo_noop,
+        )
+    else:
+        results = backtest_model(
+            predictor_factory,
+            args.seasons,
+            seed=args.seed,
+            n_simulations=args.simulations,
+            checkpoint_path=args.checkpoint,
+            reference_compat_elo_noop=args.reference_compat_elo_noop,
+        )
 
     print(f"{'='*60}")
     print("BACKTEST RESULTS")

@@ -26,6 +26,7 @@ def build_predictor(args):
         backend=backend,
         external_elo_cache=args.elo_cache,
         use_elo_cache=args.use_elo_cache or args.offline,
+        engine=args.engine,
     )
 
 
@@ -73,6 +74,10 @@ def main():
         help="Use the deterministic synthetic data backend (demo, no network)",
     )
     parser.add_argument("--synthetic-seed", type=int, default=2718)
+    parser.add_argument(
+        "--engine", choices=["auto", "xla", "pallas"], default="auto",
+        help="Simulation backend: fused Pallas kernel (TPU) or XLA lap-scan",
+    )
     args = parser.parse_args()
 
     if args.build_cache:

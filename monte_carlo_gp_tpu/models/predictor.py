@@ -65,6 +65,24 @@ DEFAULT_DEG = 0.05
 ELO_SEASON_FLOOR = 2017  # seasons must be > this (predictor.py:275)
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class WeekendPlan:
+    """A fully prepared race weekend: simulation inputs + result-assembly
+    context. `prepare_weekend` produces it; `assemble_result` consumes it
+    along with a simulated (D, D) finish-probability matrix."""
+
+    params: cfg.SimParams
+    total_laps: int
+    drivers: list[str]
+    quali_probs: dict[str, list[float]]
+    weather: dict
+    prediction_point: str
+    grid_is_actual: bool
+
+
 class F1Predictor:
     """Reference-compatible orchestrator (predictor.py:157-464)."""
 
@@ -77,6 +95,7 @@ class F1Predictor:
         use_elo_cache: bool = False,
         now: pd.Timestamp | None = None,
         sims_per_block: int | None = None,
+        engine: str = "xla",
     ):
         self.data_loader = F1DataLoader(
             cache_dir=cache_dir, offline=offline, backend=backend, now=now
@@ -88,6 +107,11 @@ class F1Predictor:
         self._elo_cache_path = Path(cache_dir) / "elo_ratings.json"
         self._use_elo_cache = use_elo_cache
         self._sims_per_block = sims_per_block
+        if engine == "auto":
+            engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        if engine not in ("xla", "pallas"):
+            raise ValueError(f"unknown engine {engine!r} (use 'xla' or 'pallas')")
+        self._engine = engine
         if use_elo_cache:
             loaded = load_with_priority(external_elo_cache, self._elo_cache_path)
             if loaded is not None:
@@ -159,6 +183,32 @@ class F1Predictor:
         n_simulations: int = 10_000,
         seed: int | None = None,
     ) -> dict:
+        plan = self.prepare_weekend(
+            season,
+            race,
+            grid_penalties=grid_penalties,
+            circuit_info=circuit_info,
+            prediction_point=prediction_point,
+            actual_grid=actual_grid,
+        )
+        probs = self._simulate(plan, n_simulations, seed)
+        return self.assemble_result(plan, probs)
+
+    def prepare_weekend(
+        self,
+        season: int,
+        race: str,
+        grid_penalties: dict[str, int | str] | None = None,
+        circuit_info: dict | None = None,
+        prediction_point: str = "fp2",
+        actual_grid: dict[str, int] | None = None,
+    ) -> "WeekendPlan":
+        """Everything up to (but not including) the Monte Carlo: data loads,
+        Elo builds, features, practice extraction, SimParams assembly.
+
+        Separated from `predict_weekend` so whole seasons of prepared races
+        can be simulated as ONE sharded batch (validate/backtest.py batched
+        mode, parallel/sharded.py)."""
         grid_penalties = grid_penalties or {}
         circuit_info = circuit_info or self._get_circuit_info(race)
 
@@ -243,14 +293,45 @@ class F1Predictor:
             dynamic_compounds=dynamic_compounds,
             track_condition=track_condition,
         )
+        return WeekendPlan(
+            params=params,
+            total_laps=total_laps,
+            drivers=drivers,
+            quali_probs=quali_probs,
+            weather=weather,
+            prediction_point=prediction_point,
+            grid_is_actual=actual_grid is not None
+            and prediction_point in ("quali", "sprint"),
+        )
+
+    def _simulate(
+        self, plan: "WeekendPlan", n_simulations: int, seed: int | None
+    ) -> np.ndarray:
         key = jax.random.PRNGKey(0 if seed is None else seed)
-        probs = np.asarray(
+        if self._engine == "pallas":
+            from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas
+
+            tile = min(2048, int(n_simulations))
+            # round up to a whole number of tiles; probabilities renormalize
+            n_eff = -(-int(n_simulations) // tile) * tile
+            return np.asarray(
+                run_monte_carlo_pallas(
+                    plan.params, key, n_eff, plan.total_laps, sims_per_tile=tile
+                )
+            )
+        return np.asarray(
             run_monte_carlo(
-                params, key, int(n_simulations), total_laps,
+                plan.params, key, int(n_simulations), plan.total_laps,
                 sims_per_block=self._sims_per_block,
             )
         )
 
+    def assemble_result(self, plan: "WeekendPlan", probs: np.ndarray) -> dict:
+        """Build the reference's result dict (predictor.py:447-464) from a
+        (D, D) finish-probability matrix."""
+        drivers = plan.drivers
+        quali_probs = plan.quali_probs
+        n = len(drivers)
         race_probs = {
             d: {p + 1: float(probs[i, p]) for p in range(n) if probs[i, p] > 0}
             for i, d in enumerate(drivers)
@@ -266,11 +347,10 @@ class F1Predictor:
                 for d in drivers
             },
             "full_distributions": race_probs,
-            "weather": weather,
-            "prediction_point": prediction_point,
-            "confidence": CONFIDENCE_LEVELS.get(prediction_point, "moderate"),
-            "grid_is_actual": actual_grid is not None
-            and prediction_point in ("quali", "sprint"),
+            "weather": plan.weather,
+            "prediction_point": plan.prediction_point,
+            "confidence": CONFIDENCE_LEVELS.get(plan.prediction_point, "moderate"),
+            "grid_is_actual": plan.grid_is_actual,
         }
 
     # -- qualifying model (reference predictor.py:466-520) -----------------------

@@ -173,6 +173,81 @@ def backtest_model(
     }
 
 
+def backtest_model_batched(
+    predictor_factory,
+    seasons: list[int],
+    seed: int = 42,
+    n_simulations: int = 10_000,
+    reference_compat_elo_noop: bool = False,
+    mesh=None,
+    verbose: bool = True,
+) -> dict:
+    """TPU-native season backtest: the walk-forward Elo/feature preparation
+    runs sequentially on the host (cheap pandas), then EVERY race's Monte
+    Carlo runs as one sharded (race, sims) batch on the device mesh
+    (parallel/sharded.py) — BASELINE.md's "full-season backtest sharded
+    across chips" configuration.
+
+    Statistically equivalent to `backtest_model` (prediction for race k only
+    uses information from races < k — the simulation itself never feeds back
+    into preparation), but every expensive part is device-parallel and a
+    single compile serves all circuits via lap masking.
+    """
+    import jax
+
+    predictions, actuals = [], []
+    for season in seasons:
+        predictor = predictor_factory()
+        loader = predictor.data_loader
+        plans, acts = [], []
+        for race in get_races(loader, season):
+            try:
+                plan = predictor.prepare_weekend(season, race)
+                act = get_actual_results(loader, season, race)
+                plans.append(plan)
+                acts.append(act)
+                _apply_actual_elo(predictor, act, reference_compat_elo_noop)
+            except Exception as e:  # noqa: BLE001
+                if verbose:
+                    print(f"Skipping {season} {race}: {e}")
+        if not plans:
+            continue
+        from monte_carlo_gp_tpu.parallel.sharded import simulate_season_sharded
+
+        probs = simulate_season_sharded(
+            [p.params for p in plans],
+            [p.total_laps for p in plans],
+            jax.random.PRNGKey(seed * 1_000_003 + season),
+            n_sims=n_simulations,
+            mesh=mesh,
+        )
+        for plan, act, p in zip(plans, acts, probs):
+            d = len(plan.drivers)
+            pred = predictor.assemble_result(plan, p[:d, :d])
+            predictions.append(
+                {
+                    "pole_probabilities": pred["pole_probabilities"],
+                    "win_probabilities": pred["win_probabilities"],
+                    "podium_probabilities": pred["podium_probabilities"],
+                }
+            )
+            actuals.append(act)
+
+    return {
+        "pole_brier": brier_score(
+            [p["pole_probabilities"] for p in predictions],
+            [a["pole"] for a in actuals],
+        ),
+        "win_brier": brier_score(
+            [p["win_probabilities"] for p in predictions],
+            [a["winner"] for a in actuals],
+        ),
+        "podium_accuracy": podium_accuracy(predictions, actuals),
+        "calibration_curve": calibration_analysis(predictions, actuals),
+        "n_races": len(predictions),
+    }
+
+
 def _apply_actual_elo(predictor, act: dict, compat_noop: bool) -> None:
     """Walk-forward Elo updates from actual results. With compat_noop the
     reference's silent no-op defect is reproduced (nothing happens)."""

@@ -132,3 +132,24 @@ def test_reference_compat_elo_noop_differs(tmp_path):
     )
     assert fixed["n_races"] == compat["n_races"] == 3
     assert fixed["pole_brier"] != compat["pole_brier"]
+
+
+@pytest.mark.slow
+def test_batched_backtest_matches_sequential_scores(tmp_path):
+    """The batched (sharded season) backtest must produce Brier scores
+    statistically consistent with the sequential walk-forward harness."""
+    from monte_carlo_gp_tpu.validate.backtest import backtest_model_batched
+
+    seq = backtest_model(
+        _factory(tmp_path, n_events=3), [2024], seed=3, n_simulations=1024,
+        verbose=False,
+    )
+    bat = backtest_model_batched(
+        _factory(tmp_path, n_events=3), [2024], seed=3, n_simulations=1024,
+        verbose=False,
+    )
+    assert bat["n_races"] == seq["n_races"] == 3
+    # pole Brier is simulation-free (quali model only) -> identical
+    assert bat["pole_brier"] == pytest.approx(seq["pole_brier"], abs=1e-9)
+    # win Brier differs only by Monte Carlo noise
+    assert bat["win_brier"] == pytest.approx(seq["win_brier"], abs=0.02)
