@@ -100,3 +100,53 @@ def test_dnf_rate_matches_oracle():
     # compare mean finish distributions overall
     tv = 0.5 * np.abs(oracle_probs - tpu_probs).sum(axis=1)
     assert tv.max() < 0.12, tv  # total variation per driver row
+
+
+@pytest.mark.slow
+def test_native_oracle_matches_python_oracle():
+    """The C++ oracle (native/oracle.cpp) and the Python oracle implement
+    identical semantics — distributions must agree tightly."""
+    from monte_carlo_gp_tpu.validate.native_oracle import available, run_native_oracle
+
+    if not available():
+        pytest.skip("g++ unavailable")
+    d, laps = 10, 30
+    sc = scenario(d)
+    params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
+    native = run_native_oracle(params, seed=42, n_sims=40_000, total_laps=laps)
+    ocfg = OracleConfig(total_laps=laps, pit_loss=21.0, overtake_delta=0.6)
+    py = run_oracle_monte_carlo(
+        seed=42, cfg=ocfg, n_sims=1500,
+        grid_probs=sc["grid_probs"], base_pace=sc["base_pace"],
+        tire_deg=sc["tire_deg"], variance=sc["variance"],
+        dnf_rate=sc["dnf_rate"], team_dnf_rate=sc["team_dnf_rate"],
+    )
+    tv = 0.5 * np.abs(native - py).sum(axis=1)
+    assert tv.max() < 0.10, tv  # dominated by the python oracle's MC error
+
+
+@pytest.mark.slow
+def test_engine_matches_native_oracle_high_n():
+    """High-N validation the Python oracle cannot afford: 40k native oracle
+    sims vs 32k XLA-engine sims — tight distributional agreement."""
+    from monte_carlo_gp_tpu.validate.native_oracle import available, run_native_oracle
+
+    if not available():
+        pytest.skip("g++ unavailable")
+    d, laps = 10, 30
+    sc = scenario(d)
+    params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
+    n_nat, n_tpu = 40_000, 32_768
+    native = run_native_oracle(params, seed=7, n_sims=n_nat, total_laps=laps)
+    engine = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(7), n_tpu, laps))
+
+    positions = np.arange(1, d + 1)
+    mean_n = native @ positions
+    mean_e = engine @ positions
+    var_n = native @ positions**2 - mean_n**2
+    var_e = engine @ positions**2 - mean_e**2
+    se = np.sqrt(var_n / n_nat + var_e / n_tpu)
+    z = (mean_n - mean_e) / np.maximum(se, 1e-6)
+    assert (np.abs(z) < 5.0).all(), (mean_n, mean_e, z)
+    tv = 0.5 * np.abs(native - engine).sum(axis=1)
+    assert tv.max() < 0.05, tv
