@@ -66,7 +66,7 @@ def main() -> None:
 
         def run(k):
             return run_monte_carlo_pallas(
-                params, k, N_SIMS, TOTAL_LAPS, sims_per_tile=2048
+                params, k, N_SIMS, TOTAL_LAPS, sims_per_tile=1024
             )
 
         log("backend: pallas (fused whole-race kernel)")

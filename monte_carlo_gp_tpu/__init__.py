@@ -23,10 +23,23 @@ Architecture (TPU-first, not a port):
     promises this but never implemented it — see SURVEY.md).
 """
 
+import os
+
 import jax
 
 # Bitwise reproducibility of RNG under any sharding: partitionable threefry
 # makes jax.random draws independent of the device mesh layout.
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: TPU compiles of the race engine are tens of
+# seconds; cache them across processes (CLI invocations, backtests). Opt out
+# with MCGP_COMPILE_CACHE=0 or point it elsewhere with a path.
+_cache = os.environ.get("MCGP_COMPILE_CACHE", "")
+if _cache != "0":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _cache or os.path.expanduser("~/.cache/mcgp_jax"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 __version__ = "0.1.0"

@@ -224,7 +224,25 @@ class F1DataLoader:
 
     # -- core loads ----------------------------------------------------------
 
+    def _resolve_event(self, season: int, race: str) -> str:
+        """Resolve a user-supplied race name ('Bahrain') to the schedule's
+        event name ('Bahrain Grand Prix'). FastF1's `get_session` fuzzy-
+        matches names itself; the disk cache and schedule-keyed paths need
+        the same forgiveness."""
+        schedule = self.get_schedule(season)
+        names = [ev["EventName"] for ev in schedule]
+        if race in names or not names:
+            return race
+        low = race.lower()
+        for ev in schedule:
+            if low in str(ev["EventName"]).lower() or low in str(
+                ev.get("Location", "")
+            ).lower():
+                return ev["EventName"]
+        return race
+
     def _load(self, kind: str, season: int, event: str, session: str):
+        event = self._resolve_event(season, event)
         key = (kind, season, event, session)
         if key in self._memo:
             return self._memo[key]

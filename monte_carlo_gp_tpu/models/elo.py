@@ -213,26 +213,37 @@ class F1EloSystem:
             masks[i, ids] = True
             ks[i] = k
             discs[i] = disc
-        self._ratings = np.asarray(
-            scan_update(
-                jnp.asarray(self._ratings),
-                jnp.asarray(values),
-                jnp.asarray(masks),
-                jnp.asarray(ks),
-                jnp.asarray(discs),
+        # The Elo scan is microscopic compute (E<=100 events over N<=40
+        # drivers) — pin it to the host CPU backend so it never pays a TPU
+        # compile round-trip (tens of seconds over a remote tunnel).
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            self._ratings = np.asarray(
+                scan_update(
+                    jnp.asarray(self._ratings),
+                    jnp.asarray(values),
+                    jnp.asarray(masks),
+                    jnp.asarray(ks),
+                    jnp.asarray(discs),
+                )
             )
-        )
         self._pending.clear()
 
     def predict_quali_probs(self, drivers: list[str]) -> dict[str, float]:
-        """Softmax pole probabilities over `drivers` (elo.py:124-141)."""
+        """Softmax pole probabilities over `drivers` (elo.py:124-141).
+
+        Computed in NumPy: this is host-side orchestration math over ~20
+        scalars — dispatching a single eager op to a (possibly remote) TPU
+        costs far more than the computation."""
         if not drivers:
             return {}
         self.flush()
         ratings = np.array(
-            [self._rating_of(d, QUALI) for d in drivers], np.float32
+            [self._rating_of(d, QUALI) for d in drivers], np.float64
         )
-        probs = np.asarray(softmax_probs(jnp.asarray(ratings), self.params.softmax_scale))
+        scaled = ratings / self.params.softmax_scale
+        e = np.exp(scaled - scaled.max())
+        probs = e / e.sum()
         total = probs.sum()
         if total <= 0:
             return {d: 1.0 / len(drivers) for d in drivers}

@@ -311,7 +311,7 @@ class F1Predictor:
         if self._engine == "pallas":
             from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas
 
-            tile = min(2048, int(n_simulations))
+            tile = min(1024, int(n_simulations))
             # round up to a whole number of tiles; probabilities renormalize
             n_eff = -(-int(n_simulations) // tile) * tile
             return np.asarray(

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from monte_carlo_gp_tpu import config as cfg
 from monte_carlo_gp_tpu.config import SimParams
 
-DEFAULT_SIMS_PER_TILE = 2048
+DEFAULT_SIMS_PER_TILE = 1024
 INF = 1e30
 NAN = float("nan")
 

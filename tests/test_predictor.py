@@ -179,3 +179,47 @@ def test_extract_compound_deltas():
     assert out["HARD"]["pace_delta"] == pytest.approx(91.15 - 90.15, abs=0.01)
     # non-pace fields keep defaults
     assert out["SOFT"]["optimal_laps"] == 15
+
+
+@pytest.mark.slow
+def test_sprint_weekend_chained_predictions(tmp_path_factory):
+    """BASELINE configs[2]: chained predictions through a sprint weekend —
+    fp1 -> sprint (grid from sprint qualifying) -> race (grid from quali),
+    with confidence tightening at each step."""
+    backend = SyntheticBackend(seed=9, n_events=5)  # includes China (sprint)
+    p = F1Predictor(cache_dir=tmp_path_factory.mktemp("sprintc"), backend=backend)
+    race = "China"
+
+    early = p.predict_weekend(2024, race, prediction_point="fp1",
+                              n_simulations=512, seed=1)
+    assert early["confidence"] == "low"
+
+    sq = backend.load_results(2024, "China Grand Prix", "SQ")
+    sq_grid = dict(zip(sq["Abbreviation"], sq["Position"].astype(int)))
+    mid = p.predict_weekend(2024, race, prediction_point="sprint",
+                            actual_grid=sq_grid, n_simulations=512, seed=1)
+    assert mid["confidence"] == "high" and mid["grid_is_actual"]
+
+    q = backend.load_results(2024, "China Grand Prix", "Q")
+    q_grid = dict(zip(q["Abbreviation"], q["Position"].astype(int)))
+    final = p.predict_weekend(2024, race, prediction_point="quali",
+                              actual_grid=q_grid, n_simulations=512, seed=1)
+    assert final["grid_is_actual"]
+    # grid known exactly -> pole probabilities collapse to the actual order
+    pole_driver = [d for d, g in q_grid.items() if g == 1][0]
+    assert final["pole_probabilities"][pole_driver] == 1.0
+    # all three produce valid race distributions
+    for r in (early, mid, final):
+        assert abs(sum(r["win_probabilities"].values()) - 1.0) < 1e-3
+
+
+def test_engine_selection_pallas_pads_sims(tmp_path_factory):
+    """engine='pallas' pads non-tile-multiple sim counts; on CPU the kernel
+    runs in XLA lowering... just validate the 'auto'/'xla' plumbing here."""
+    backend = SyntheticBackend(seed=9, n_events=2)
+    p = F1Predictor(cache_dir=tmp_path_factory.mktemp("eng"), backend=backend,
+                    engine="auto")
+    assert p._engine in ("xla", "pallas")
+    with pytest.raises(ValueError):
+        F1Predictor(cache_dir=tmp_path_factory.mktemp("eng2"), backend=backend,
+                    engine="cuda")
