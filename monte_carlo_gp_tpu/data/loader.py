@@ -277,15 +277,20 @@ class F1DataLoader:
         return dict(out) if out else dict(DEFAULT_WEATHER)
 
     def get_schedule(self, season: int) -> list[dict]:
-        cached = self.cache.get_schedule(season)
-        if cached is not None:
-            return cached
-        if self.backend is not None and not self.offline:
-            events = self.backend.get_schedule(season)
-            if events:
-                self.cache.store_schedule(season, events)
-            return events
-        return []
+        key = ("schedule", season)
+        if key in self._memo:
+            return self._memo[key]
+        events = self.cache.get_schedule(season)
+        if events is None:
+            if self.backend is not None and not self.offline:
+                events = self.backend.get_schedule(season)
+                if events:
+                    self.cache.store_schedule(season, events)
+            else:
+                events = []
+        if events:
+            self._memo[key] = events
+        return events or []
 
     def past_events(self, season: int) -> list[dict]:
         """Non-testing events whose date has passed (data_loader.py:48-60)."""

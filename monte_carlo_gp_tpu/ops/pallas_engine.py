@@ -234,6 +234,7 @@ def _race_kernel(total_laps: int, d: int, s: int):
         key1 = jnp.where(dnf, INF, cum)
         leader = jnp.min(key1, axis=0, keepdims=True)
         behind = jnp.where(dnf, behind, cum - leader)
+        urank = rank_of(key1)
 
         # ---- laps 2..L -------------------------------------------------------
         def lap_body(lap_i, state):
@@ -241,7 +242,7 @@ def _race_kernel(total_laps: int, d: int, s: int):
             # bool/int vector carries. Decode to typed values on entry.
             (cum, last_lap, behind, age, compound_f, used_s_f, used_m_f,
              used_h_f, fuel, dnf_f, dnf_lap, drs_f, laps_done,
-             drs_until) = state
+             drs_until, urank_f) = state
             compound = compound_f.astype(jnp.int32)
             used_s = used_s_f > 0.5
             used_m = used_m_f > 0.5
@@ -259,7 +260,9 @@ def _race_kernel(total_laps: int, d: int, s: int):
             vsc_refund = is_vsc & (u_rc[3:4, :] < 0.3)
 
             key_t = jnp.where(dnf, INF, cum)
-            rank = rank_of(key_t)
+            # cum/dnf are untouched since the previous lap's position update,
+            # so its rank is exactly this lap's race-control rank.
+            rank = urank_f.astype(jnp.int32)
             leader = jnp.min(key_t, axis=0, keepdims=True)
             leader_laps = row_pick((rank == 0) & act, laps_done)
             rank_f = rank.astype(jnp.float32)
@@ -387,15 +390,17 @@ def _race_kernel(total_laps: int, d: int, s: int):
             f32 = lambda b: b.astype(jnp.float32)
             return (cum, last_lap, behind, age, compound.astype(jnp.float32),
                     f32(used_s), f32(used_m), f32(used_h), fuel, f32(dnf),
-                    dnf_lap, f32(drs), laps_done, drs_until)
+                    dnf_lap, f32(drs), laps_done, drs_until,
+                    urank.astype(jnp.float32))
 
         f32 = lambda b: b.astype(jnp.float32)
         state = (cum, last_lap, behind, age, compound.astype(jnp.float32),
                  f32(used_s), f32(used_m), f32(used_h), fuel, f32(dnf),
-                 dnf_lap, f32(drs), laps_done, drs_until)
+                 dnf_lap, f32(drs), laps_done, drs_until,
+                 urank.astype(jnp.float32))
         state = jax.lax.fori_loop(2, total_laps + 1, lap_body, state)
         (cum, last_lap, behind, age, _compound_f, _us, _um, _uh,
-         fuel, dnf_f, dnf_lap, _drs_f, laps_done, drs_until) = state
+         fuel, dnf_f, dnf_lap, _drs_f, laps_done, drs_until, _urank_f) = state
         dnf = dnf_f > 0.5
 
         # ---- classification (simulation.py:230-242) --------------------------

@@ -150,3 +150,43 @@ def test_engine_matches_native_oracle_high_n():
     assert (np.abs(z) < 5.0).all(), (mean_n, mean_e, z)
     tv = 0.5 * np.abs(native - engine).sum(axis=1)
     assert tv.max() < 0.05, tv
+
+
+@pytest.mark.slow
+def test_event_heavy_race_matches_native_oracle():
+    """Stress the SC/VSC/red-flag handlers distributionally: with event
+    rates cranked up (~10 SC periods per race), the engine must still match
+    the native oracle."""
+    from monte_carlo_gp_tpu.validate.native_oracle import available, run_native_oracle
+
+    if not available():
+        pytest.skip("g++ unavailable")
+    d, laps = 10, 40
+    sc = scenario(d, seed=13)
+    params = make_sim_params(
+        pit_loss=21.0, overtake_delta=0.6,
+        sc_prob=0.15, vsc_prob=0.15, red_flag_prob=0.03,
+        **sc,
+    )
+    native = run_native_oracle(params, seed=3, n_sims=30_000, total_laps=laps)
+    engine = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(3), 16_384, laps))
+    tv = 0.5 * np.abs(native - engine).sum(axis=1)
+    assert tv.max() < 0.06, tv
+
+
+@pytest.mark.slow
+def test_wet_race_matches_native_oracle():
+    """Damp track: intermediate tires, no two-compound rule, wet pit picks."""
+    from monte_carlo_gp_tpu.validate.native_oracle import available, run_native_oracle
+
+    if not available():
+        pytest.skip("g++ unavailable")
+    d, laps = 10, 35
+    sc = scenario(d, seed=17)
+    params = make_sim_params(
+        pit_loss=21.0, overtake_delta=0.6, track_condition="damp", **sc
+    )
+    native = run_native_oracle(params, seed=5, n_sims=30_000, total_laps=laps)
+    engine = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(5), 16_384, laps))
+    tv = 0.5 * np.abs(native - engine).sum(axis=1)
+    assert tv.max() < 0.06, tv
