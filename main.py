@@ -78,6 +78,14 @@ def main():
         "--engine", choices=["auto", "xla", "pallas"], default="auto",
         help="Simulation backend: fused Pallas kernel (TPU) or XLA lap-scan",
     )
+    parser.add_argument(
+        "--trace", type=str, default=None, metavar="DIR",
+        help="Write a TensorBoard profiler trace of the prediction to DIR",
+    )
+    parser.add_argument(
+        "--timings", action="store_true",
+        help="Print per-phase wall-clock timings",
+    )
     args = parser.parse_args()
 
     if args.build_cache:
@@ -99,17 +107,30 @@ def main():
     print("Loading data and running simulations...")
     predictor = build_predictor(args)
 
+    from monte_carlo_gp_tpu.utils.profiling import Phase, phase_report, trace
+
+    timers = Phase()
     try:
-        results = predictor.predict_weekend(
-            season=args.season,
-            race=args.race,
-            prediction_point=args.prediction_point,
-            n_simulations=args.simulations,
-            seed=args.seed,
-        )
+        with trace(args.trace):
+            with timers("prepare (data + Elo + features)"):
+                plan = predictor.prepare_weekend(
+                    season=args.season,
+                    race=args.race,
+                    prediction_point=args.prediction_point,
+                )
+            with timers("simulate (Monte Carlo)"):
+                probs = predictor._simulate(plan, args.simulations, args.seed)
+            results = predictor.assemble_result(plan, probs)
     except ValueError as e:
         print(f"Error: {e}")
         return
+    if args.timings:
+        print()
+        print(phase_report(timers))
+        sims_per_s = args.simulations / max(
+            timers.totals["simulate (Monte Carlo)"], 1e-9
+        )
+        print(f"  {sims_per_s:,.0f} sims/sec (includes any compile)")
 
     print(f"\nWeather: {'Wet' if results['weather'].get('rainfall') else 'Dry'}")
     print(f"Track temp: {results['weather'].get('track_temp', 'N/A')}C")

@@ -42,4 +42,9 @@ if _cache != "0":
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
+# Development-time numeric sanitizer (SURVEY.md §5): MCGP_DEBUG_NANS=1 makes
+# any NaN produced under jit raise immediately with a traceback.
+if os.environ.get("MCGP_DEBUG_NANS") == "1":
+    jax.config.update("jax_debug_nans", True)
+
 __version__ = "0.1.0"
