@@ -13,7 +13,7 @@ to jit and sharded.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

@@ -102,14 +102,22 @@ class F1FeatureEngine:
         t["drv_session_best"] = g_drv_session["LapTime"].min()
         t["drv_session_nlaps"] = g_drv_session.size()
         t["drv_session_mean"] = g_drv_session["LapTime"].mean()
+        # Event-level tables (season, circuit), combining Q+R sessions — the
+        # reference groups `self.laps` by (season, circuit) for sector
+        # strength, wet performance and temp sensitivity (features.py:292,
+        # :650, :745), so one entry per EVENT, not per session.
+        g_event = laps.groupby(["season", "circuit"])
+        g_drv_event = laps.groupby(["Driver", "season", "circuit"])
+        t["event_best"] = g_event["LapTime"].min()
+        t["drv_event_best"] = g_drv_event["LapTime"].min()
         for col in ("Sector1Time", "Sector2Time", "Sector3Time"):
             if col in laps.columns:
-                t["session_best_" + col] = g_session[col].min()
-                t["drv_session_best_" + col] = g_drv_session[col].min()
+                t["event_best_" + col] = g_event[col].min()
+                t["drv_event_best_" + col] = g_drv_event[col].min()
         if "TrackTemp" in laps.columns:
-            t["session_temp"] = g_session["TrackTemp"].mean()
+            t["event_temp"] = g_event["TrackTemp"].mean()
         if "Rainfall" in laps.columns:
-            t["session_wet"] = laps.groupby(["season", "circuit"])["Rainfall"].any()
+            t["session_wet"] = g_event["Rainfall"].any()
         # race-session driver medians and lap counts (race pace / deg)
         r = laps[laps["session_type"] == "R"]
         if not r.empty:
@@ -254,15 +262,15 @@ class F1FeatureEngine:
             "traction": "Sector3Time",
         }.get(sector_type, "Sector1Time")
         t = self._t()
-        if not t or ("drv_session_best_" + col) not in t:
+        if not t or ("drv_event_best_" + col) not in t:
             return 0.0
-        best = t["drv_session_best_" + col]
+        best = t["drv_event_best_" + col]
         if driver not in best.index.get_level_values(0):
             return 0.0
         drv = best.loc[driver].dropna()
         if drv.empty:
             return 0.0
-        session_best = t["session_best_" + col].loc[drv.index]
+        session_best = t["event_best_" + col].loc[drv.index]
         deltas = ((session_best - drv) / session_best * 100.0).dropna()
         deltas = deltas[np.isfinite(deltas)]
         if deltas.empty:
@@ -402,17 +410,17 @@ class F1FeatureEngine:
         t = self._t()
         if not t or "session_wet" not in t:
             return 0.0
-        best = t["drv_session_best"]
+        best = t["drv_event_best"]
         if driver not in best.index.get_level_values(0):
             return 0.0
         drv = best.loc[driver].dropna()
         if drv.empty:
             return 0.0
-        session_best = t["session_best"].loc[drv.index]
+        session_best = t["event_best"].loc[drv.index]
         gaps = ((drv - session_best) / session_best * 100.0).dropna()
         wet_flag = t["session_wet"]
         wet_gaps, dry_gaps = [], []
-        for (season, circuit, _s), gap in gaps.items():
+        for (season, circuit), gap in gaps.items():
             if wet_flag.get((season, circuit), False):
                 wet_gaps.append(gap)
             else:
@@ -441,16 +449,16 @@ class F1FeatureEngine:
         """Slope of gap% vs session track temperature, /100, clamped
         [0, 0.005] (features.py:730-786)."""
         t = self._t()
-        if not t or "session_temp" not in t:
+        if not t or "event_temp" not in t:
             return 0.001
-        best = t["drv_session_best"]
+        best = t["drv_event_best"]
         if driver not in best.index.get_level_values(0):
             return 0.001
         drv = best.loc[driver].dropna()
         if drv.empty:
             return 0.001
-        session_best = t["session_best"].loc[drv.index]
-        temps = t["session_temp"].loc[drv.index]
+        session_best = t["event_best"].loc[drv.index]
+        temps = t["event_temp"].loc[drv.index]
         gaps = ((drv - session_best) / session_best * 100.0)
         ok = gaps.notna() & temps.notna() & (session_best > 0)
         gaps, temps = gaps[ok].to_numpy(), temps[ok].to_numpy()

@@ -13,7 +13,6 @@ from pathlib import Path
 
 import numpy as np
 
-from monte_carlo_gp_tpu import config as cfg
 from monte_carlo_gp_tpu.config import SimParams
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
