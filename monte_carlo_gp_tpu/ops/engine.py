@@ -65,24 +65,27 @@ def simulate_races_state(
     inactive = ~params.active[None, :]
     if params.active.ndim:  # cheap no-op when all active
         cars = dataclasses.replace(cars, dnf=cars.dnf | inactive)
-    cars = simulate_lap_1(params, cars, key)
+    cars, rank0 = simulate_lap_1(params, cars, key)
 
     drs_until0 = jnp.zeros((n_sims,), jnp.int32)
     laps_total = race_laps if race_laps is not None else jnp.int32(total_laps)
 
     def step(carry, lap):
-        cars, drs_until = carry
-        new_cars, new_drs = lap_step(params, laps_total, cars, drs_until, lap, key)
+        cars, drs_until, rank = carry
+        new_cars, new_drs, new_rank = lap_step(
+            params, laps_total, cars, drs_until, lap, key, prev_rank=rank
+        )
         if race_laps is not None:
             live = lap <= laps_total
             new_cars = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(live, new, old), new_cars, cars
             )
             new_drs = jnp.where(live, new_drs, drs_until)
-        return (new_cars, new_drs), None
+            new_rank = jnp.where(live, new_rank, rank)
+        return (new_cars, new_drs, new_rank), None
 
     laps = jnp.arange(2, total_laps + 1, dtype=jnp.int32)
-    (cars, _), _ = jax.lax.scan(step, (cars, drs_until0), laps)
+    (cars, _, _), _ = jax.lax.scan(step, (cars, drs_until0, rank0), laps)
     return classify(cars), cars
 
 

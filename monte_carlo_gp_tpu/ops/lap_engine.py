@@ -157,8 +157,12 @@ def _active_rank(cars: Cars) -> jax.Array:
 
 def _update_positions(
     params: SimParams, cars: Cars, lap: jax.Array, drs_disabled: jax.Array
-) -> Cars:
-    """End-of-lap position/DRS update (reference simulation.py:538-560)."""
+) -> tuple[Cars, jax.Array]:
+    """End-of-lap position/DRS update (reference simulation.py:538-560).
+
+    Also returns the active rank: nothing modifies cum_time/dnf between this
+    update and the next lap's race-control step, so callers carry it forward
+    instead of recomputing (one fewer O(D^2) rank per lap)."""
     rank = _active_rank(cars)
     key = jnp.where(cars.dnf, INF_TIME, cars.cum_time)
     leader_time = jnp.min(key, axis=-1, keepdims=True)
@@ -171,7 +175,7 @@ def _update_positions(
         & (gap_ahead < DRS_WINDOW)
         & ~cars.dnf
     )
-    return dataclasses.replace(cars, behind_leader=behind, drs=drs_ok)
+    return dataclasses.replace(cars, behind_leader=behind, drs=drs_ok), rank
 
 
 def simulate_lap_1(params: SimParams, cars: Cars, key: jax.Array) -> Cars:
@@ -208,7 +212,7 @@ def simulate_lap_1(params: SimParams, cars: Cars, key: jax.Array) -> Cars:
     )
     return _update_positions(
         params, cars, jnp.int32(1), jnp.ones(shape[:-1], bool)
-    )
+    )  # -> (cars, rank)
 
 
 def lap_step(
@@ -218,8 +222,13 @@ def lap_step(
     drs_until: jax.Array,
     lap: jax.Array,
     key: jax.Array,
-) -> tuple[Cars, jax.Array]:
-    """One racing lap (laps 2..total_laps), reference simulation.py:164-228."""
+    prev_rank: jax.Array | None = None,
+) -> tuple[Cars, jax.Array, jax.Array]:
+    """One racing lap (laps 2..total_laps), reference simulation.py:164-228.
+
+    `prev_rank` is the active rank from the previous position update (exact,
+    since cum/dnf are untouched in between); recomputed when absent. Returns
+    (cars, drs_until, rank-after-this-lap)."""
     shape = cars.cum_time.shape
     s = shape[:-1]
 
@@ -229,7 +238,7 @@ def lap_step(
     is_sc = ~is_red & (u[..., 1] < params.sc_prob)
     is_vsc = ~is_red & ~is_sc & (u[..., 2] < params.vsc_prob)
 
-    rank = _active_rank(cars)
+    rank = prev_rank if prev_rank is not None else _active_rank(cars)
     active = ~cars.dnf
     key_time = jnp.where(cars.dnf, INF_TIME, cars.cum_time)
     leader_time = jnp.min(key_time, axis=-1, keepdims=True)
@@ -317,8 +326,8 @@ def lap_step(
 
     # --- 6. Position / DRS update (simulation.py:538-560) -------------------
     drs_disabled = lap <= drs_until
-    cars = _update_positions(params, cars, lap, drs_disabled)
-    return cars, drs_until
+    cars, rank_out = _update_positions(params, cars, lap, drs_disabled)
+    return cars, drs_until, rank_out
 
 
 def _pit_stops(params: SimParams, cars: Cars, remaining: jax.Array) -> Cars:

@@ -61,7 +61,8 @@ import functools
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _jit_step(params, total_laps, cars, d0, lap):
-    return lap_step(params, total_laps, cars, d0, lap, KEY)
+    cars, drs_until, _rank = lap_step(params, total_laps, cars, d0, lap, KEY)
+    return cars, drs_until
 
 
 def step(params, cars, lap=10, total_laps=57, drs_until=0):
