@@ -110,7 +110,9 @@ def main():
     print(f"  Race winner:   {win_brier:.4f} ({interpret_brier(win_brier)})")
     print()
 
-    random_brier = 0.0475
+    from monte_carlo_gp_tpu.validate.metrics import RANDOM_BRIER_BASELINE
+
+    random_brier = RANDOM_BRIER_BASELINE
     print(f"  (Random baseline: {random_brier:.4f})")
     print(f"  Pole improvement vs random: "
           f"{(random_brier - pole_brier) / random_brier * 100:.1f}%")

@@ -96,7 +96,6 @@ class FastF1Backend:
                 out[col] = series.to_numpy()
             else:
                 out[col] = np.nan
-        out["Team"] = laps["Team"] if "Team" in laps.columns else ""
         return out
 
     def load_results(self, season: int, event: str, session: str = "R") -> pd.DataFrame | None:

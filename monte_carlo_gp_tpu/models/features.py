@@ -124,6 +124,30 @@ class F1FeatureEngine:
             gr = r.groupby(["Driver", "season", "circuit"])
             t["r_median"] = gr["LapTime"].median()
             t["r_nlaps"] = gr["LapTime"].count()
+            t["deg_slopes"] = gr.apply(_session_deg_slope, include_groups=False)
+        # qualifying bests pivoted per event (teammate comparisons) and the
+        # driver -> team map
+        q = laps[laps["session_type"] == "Q"]
+        if not q.empty:
+            t["q_best_pivot"] = q.pivot_table(
+                index=["season", "circuit"], columns="Driver",
+                values="LapTime", aggfunc="min",
+            )
+        if "Team" in laps.columns:
+            t["driver_team"] = laps.groupby("Driver")["Team"].first()
+            t["team_drivers"] = {
+                team: list(grp.index)
+                for team, grp in t["driver_team"].groupby(t["driver_team"])
+            }
+        # per-driver lap-time sums/counts overall and per short circuit name
+        # (circuit affinity = mean over laps, reference features.py:214-234)
+        lt = laps.dropna(subset=["LapTime"])
+        t["drv_lap_sum"] = lt.groupby("Driver")["LapTime"].sum()
+        t["drv_lap_n"] = lt.groupby("Driver")["LapTime"].count()
+        shorts = lt["circuit"].map(_short_name)
+        g_short = lt.groupby(["Driver", shorts])
+        t["drv_circuit_sum"] = g_short["LapTime"].sum()
+        t["drv_circuit_n"] = g_short["LapTime"].count()
         self._tables = t
         return t
 
@@ -196,45 +220,56 @@ class F1FeatureEngine:
         """Mean % best-lap delta vs teammate per (season, circuit) session
         (features.py:135-185 intent; see module docstring on the reference's
         dead-code form). Positive = faster than teammate."""
-        laps = self.laps
-        if laps.empty or "Team" not in laps.columns:
+        t = self._t()
+        if not t or "q_best_pivot" not in t or "driver_team" not in t:
             return 0.0
-        drv_laps = laps[laps["Driver"] == driver]
-        if drv_laps.empty:
+        pivot = t["q_best_pivot"]
+        team = t["driver_team"].get(driver)
+        if team is None or driver not in pivot.columns:
             return 0.0
-        team = drv_laps["Team"].iloc[0]
-        team_laps = laps[(laps["Team"] == team) & (laps["session_type"] == "Q")]
-        best = team_laps.groupby(["season", "circuit", "Driver"])["LapTime"].min()
+        teammates = [
+            d for d in t["team_drivers"].get(team, [])
+            if d != driver and d in pivot.columns
+        ]
+        if not teammates:
+            return 0.0
+        mine = pivot[driver]
         deltas = []
-        for (season, circuit), grp in best.groupby(level=[0, 1]):
-            by_driver = grp.droplevel([0, 1])
-            if driver not in by_driver.index:
-                continue
-            mine = by_driver[driver]
-            if pd.isna(mine):
-                continue
-            for mate, their in by_driver.items():
-                if mate == driver or pd.isna(their) or their <= 0:
-                    continue
-                deltas.append((their - mine) / their * 100.0)
-        return float(np.mean(deltas)) if deltas else 0.0
+        for mate in teammates:
+            theirs = pivot[mate]
+            ok = mine.notna() & theirs.notna() & (theirs > 0)
+            if ok.any():
+                deltas.append(((theirs[ok] - mine[ok]) / theirs[ok] * 100.0))
+        if not deltas:
+            return 0.0
+        stacked = pd.concat(deltas)
+        return float(stacked.mean()) if not stacked.empty else 0.0
 
     def _circuit_affinity(self, driver: str, circuit: str) -> float:
         """Mean lap time at this circuit type vs overall, normalized and
         clamped to ±0.5 (features.py:187-234)."""
-        laps = self.laps
-        if laps.empty:
+        t = self._t()
+        if not t or "drv_lap_n" not in t:
             return 0.0
-        drv = laps[laps["Driver"] == driver]
-        if drv.empty:
+        n_all = t["drv_lap_n"].get(driver, 0)
+        if not n_all:
             return 0.0
-        targets = [circuit] + cfg.get_similar_tracks(_short_name(circuit))
-        # circuit column holds full event names; match on contained short name
-        target_shorts = {_short_name(x) for x in targets}
-        at_circuit = drv[drv["circuit"].map(_short_name).isin(target_shorts)]
-        circuit_avg = at_circuit["LapTime"].dropna().mean()
-        overall_avg = drv["LapTime"].dropna().mean()
-        if pd.isna(circuit_avg) or pd.isna(overall_avg) or overall_avg == 0:
+        targets = {_short_name(circuit)} | set(
+            cfg.get_similar_tracks(_short_name(circuit))
+        )
+        sums = t["drv_circuit_sum"]
+        counts = t["drv_circuit_n"]
+        total = n = 0.0
+        for short in targets:
+            key = (driver, short)
+            if key in counts.index:
+                total += sums[key]
+                n += counts[key]
+        if n == 0:
+            return 0.0
+        circuit_avg = total / n
+        overall_avg = t["drv_lap_sum"][driver] / n_all
+        if overall_avg == 0:
             return 0.0
         return float(np.clip((overall_avg - circuit_avg) / overall_avg, -0.5, 0.5))
 
@@ -312,32 +347,18 @@ class F1FeatureEngine:
     def _deg_rate(self, driver: str) -> float:
         """Linear lap-time slope per race session, outliers ±10s of median
         removed, slopes kept in (0, 0.5), mean clamped [0.01, 0.15]
-        (features.py:448-490)."""
-        laps = self.laps
-        if laps.empty:
+        (features.py:448-490). Slopes precomputed once per archive."""
+        t = self._t()
+        if not t or "deg_slopes" not in t:
             return 0.05
-        drv = laps[(laps["Driver"] == driver) & (laps["session_type"] == "R")]
+        slopes = t["deg_slopes"]
+        if driver not in slopes.index.get_level_values(0):
+            return 0.05
+        drv = slopes.loc[driver].dropna()
+        drv = drv[(drv > 0) & (drv < 0.5)]
         if drv.empty:
             return 0.05
-        rates = []
-        sort_col = "LapNumber" if "LapNumber" in drv.columns else None
-        for _, grp in drv.groupby(["season", "circuit"]):
-            if sort_col:
-                grp = grp.sort_values(sort_col)
-            secs = grp["LapTime"].dropna().to_numpy()
-            if len(secs) < 10:
-                continue
-            med = np.median(secs)
-            keep = np.abs(secs - med) < 10.0
-            idx = np.nonzero(keep)[0]
-            if len(idx) < 5:
-                continue
-            slope = np.polyfit(idx.astype(float), secs[keep], 1)[0]
-            if 0 < slope < 0.5:
-                rates.append(slope)
-        if not rates:
-            return 0.05
-        return float(np.clip(np.mean(rates), 0.01, 0.15))
+        return float(np.clip(drv.mean(), 0.01, 0.15))
 
     def _driver_results(self, driver: str) -> pd.DataFrame:
         if self.race_results.empty:
@@ -493,6 +514,23 @@ class F1FeatureEngine:
         return {
             k: np.array([r[k] for r in rows], np.float32) for k in self.RACE_KEYS
         }
+
+
+def _session_deg_slope(grp: pd.DataFrame) -> float:
+    """Degradation slope of one driver-race-session (features.py:463-486):
+    needs >=10 valid laps, drops laps beyond ±10s of the session median,
+    linear fit over the surviving original lap indices."""
+    if "LapNumber" in grp.columns:
+        grp = grp.sort_values("LapNumber")
+    secs = grp["LapTime"].dropna().to_numpy()
+    if len(secs) < 10:
+        return np.nan
+    med = np.median(secs)
+    keep = np.abs(secs - med) < 10.0
+    idx = np.nonzero(keep)[0]
+    if len(idx) < 5:
+        return np.nan
+    return float(np.polyfit(idx.astype(float), secs[keep], 1)[0])
 
 
 def _short_name(event: str) -> str:

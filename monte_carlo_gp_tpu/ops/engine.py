@@ -62,9 +62,7 @@ def simulate_races_state(
     cars = init_cars(params, start_pos)
     # Padding slots beyond the real entry list are retired before the start
     # so they classify last and never interact with live cars.
-    inactive = ~params.active[None, :]
-    if params.active.ndim:  # cheap no-op when all active
-        cars = dataclasses.replace(cars, dnf=cars.dnf | inactive)
+    cars = dataclasses.replace(cars, dnf=cars.dnf | ~params.active[None, :])
     cars, rank0 = simulate_lap_1(params, cars, key)
 
     drs_until0 = jnp.zeros((n_sims,), jnp.int32)

@@ -89,8 +89,8 @@ def _pack_inputs(params: SimParams):
 def _race_kernel(total_laps: int, d: int, s: int):
     """Build the kernel body for static (laps, drivers, tile sims)."""
 
-    def uniform():
-        bits = pltpu.bitcast(pltpu.prng_random_bits((d, s)), jnp.uint32)
+    def uniform(rows: int = d):
+        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, s)), jnp.uint32)
         # >>8 leaves 24 bits, always positive, so the int32 view is exact
         # (Mosaic has no uint32 -> f32 cast).
         top24 = pltpu.bitcast(bits >> 8, jnp.int32)
@@ -143,7 +143,9 @@ def _race_kernel(total_laps: int, d: int, s: int):
     def kernel(seeds_ref, pmat_ref, scal_ref, gridlog_ref, out_ref):
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (d, s), 0)
         tile = pl.program_id(0)
-        pltpu.prng_seed(seeds_ref[tile])
+        # Two 32-bit words per tile (the folded threefry key's full data) —
+        # a single int32 seed would birthday-collide across many tiles.
+        pltpu.prng_seed(seeds_ref[tile, 0], seeds_ref[tile, 1])
         scal = scal_ref
         active = pmat_ref[:, _ACTIVE : _ACTIVE + 1] > 0.5  # (D, 1)
         active_b = jnp.broadcast_to(active, (d, s))
@@ -252,8 +254,9 @@ def _race_kernel(total_laps: int, d: int, s: int):
             lap = lap_i.astype(jnp.float32)
             act = ~dnf
 
-            # race control draws (red -> SC -> VSC)
-            u_rc = uniform()
+            # race control draws (red -> SC -> VSC); fixed 8-row block so
+            # the per-sim rows exist even for tiny (<4 driver) grids
+            u_rc = uniform(rows=8)
             is_red = u_rc[0:1, :] < scal[_RED_P]
             is_sc = ~is_red & (u_rc[1:2, :] < scal[_SC_P])
             is_vsc = ~is_red & ~is_sc & (u_rc[2:3, :] < scal[_VSC_P])
@@ -451,11 +454,17 @@ def run_monte_carlo_pallas(
     d = params.n_drivers
     n_tiles = n_sims // sims_per_tile
     pmat, scal, grid_log = _pack_inputs(params)
-    seeds = jax.vmap(
-        lambda t: jax.random.randint(
-            jax.random.fold_in(key, t), (), 0, np.iinfo(np.int32).max
+
+    def tile_seed(t):
+        k = jax.random.fold_in(key, t)
+        data = (
+            jax.random.key_data(k)
+            if jnp.issubdtype(k.dtype, jax.dtypes.prng_key)
+            else k
         )
-    )(jnp.arange(n_tiles)).astype(jnp.int32)
+        return jax.lax.bitcast_convert_type(data, jnp.int32)
+
+    seeds = jax.vmap(tile_seed)(jnp.arange(n_tiles))  # (n_tiles, 2) int32
 
     kernel = _race_kernel(total_laps, d, sims_per_tile)
     counts = pl.pallas_call(

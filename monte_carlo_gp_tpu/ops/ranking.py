@@ -48,7 +48,7 @@ def scatter_by_rank(values: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
     out[..., p] = values of the car whose rank is p. `rank` must be a
     permutation (as produced by `rank_by`).
     """
-    p = _rank_onehot(rank, values.dtype if values.dtype == jnp.float32 else jnp.float32)
+    p = _rank_onehot(rank)
     out = jnp.einsum("...cp,...c->...p", p, values.astype(jnp.float32))
     return out.astype(values.dtype) if jnp.issubdtype(values.dtype, jnp.floating) else jnp.round(out).astype(values.dtype)
 

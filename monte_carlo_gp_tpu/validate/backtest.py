@@ -114,6 +114,13 @@ def backtest_model(
         predictor = predictor_factory()
         loader = predictor.data_loader
         races = get_races(loader, season)
+        if done and hasattr(predictor, "_build_elo"):
+            # Resume: the historical-season Elo build must land BEFORE the
+            # replayed actual-result updates — in an uninterrupted run,
+            # race 1's predict_weekend builds it before any actuals apply.
+            # Elo updates are order-dependent, so skipping this would make a
+            # resumed backtest diverge from the original.
+            predictor._build_elo(season)
         for race_idx, race in enumerate(races):
             key = (season, race)
             if key in done:

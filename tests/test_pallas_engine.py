@@ -75,3 +75,16 @@ def test_matches_xla_engine_on_tpu():
         )
     )
     np.testing.assert_array_equal(pallas, again)
+
+
+def test_small_grid_traces():
+    """Grids with fewer than 4 drivers must still trace (race-control draws
+    use a fixed 8-row block, not per-driver rows)."""
+    params = small_params(d=3)
+    with pltpu.force_tpu_interpret_mode():
+        probs = np.asarray(
+            run_monte_carlo_pallas(
+                params, jax.random.PRNGKey(0), 64, 8, sims_per_tile=64
+            )
+        )
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)

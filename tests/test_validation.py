@@ -153,3 +153,32 @@ def test_batched_backtest_matches_sequential_scores(tmp_path):
     assert bat["pole_brier"] == pytest.approx(seq["pole_brier"], abs=1e-9)
     # win Brier differs only by Monte Carlo noise
     assert bat["win_brier"] == pytest.approx(seq["win_brier"], abs=0.02)
+
+
+@pytest.mark.slow
+def test_partial_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Resuming from a PARTIAL checkpoint must reproduce the uninterrupted
+    run exactly: the historical Elo build has to land before the replayed
+    actual-result updates (order-dependent)."""
+    full = backtest_model(
+        _factory(tmp_path, n_events=3), [2024], seed=42, n_simulations=256,
+        verbose=False,
+    )
+    # build a checkpoint containing only the first race
+    ckpt = tmp_path / "partial.jsonl"
+    full_ckpt = tmp_path / "full.jsonl"
+    backtest_model(
+        _factory(tmp_path, n_events=3), [2024], seed=42, n_simulations=256,
+        checkpoint_path=full_ckpt, verbose=False,
+    )
+    lines = full_ckpt.read_text().splitlines()
+    assert len(lines) == 3
+    ckpt.write_text(lines[0] + "\n")
+
+    resumed = backtest_model(
+        _factory(tmp_path, n_events=3), [2024], seed=42, n_simulations=256,
+        checkpoint_path=ckpt, verbose=False,
+    )
+    # races 2-3 were re-simulated; Elo-dependent pole predictions must match
+    assert resumed["pole_brier"] == pytest.approx(full["pole_brier"], abs=1e-9)
+    assert resumed["win_brier"] == pytest.approx(full["win_brier"], abs=1e-9)
