@@ -270,9 +270,13 @@ void simulate_one(Rng& rng, const Params& p, const std::vector<int>& order,
         for (auto& c : cars) {
             if (c.dnf) continue;
             double optimal = p.comp_optimal[c.compound];
-            double deg = p.tire_deg[c.idx];
-            if (deg > 0.05) optimal = (int)(optimal * 0.85);
-            else if (deg < 0.02) optimal = (int)(optimal * 1.1);
+            // Compare at float32 precision: parameters arrive as f32, and a
+            // deg of exactly 0.05 rounds to 0.0500000007f, which must NOT
+            // count as "> 0.05" (the engine and the double-precision
+            // reference both treat it as equal).
+            float deg = p.tire_deg[c.idx];
+            if (deg > 0.05f) optimal = (int)(optimal * 0.85);
+            else if (deg < 0.02f) optimal = (int)(optimal * 1.1);
             if (c.tire_age > optimal && remaining > 5) {
                 c.cum += p.pit_loss;
                 int nc = condition_compound(p.condition, remaining);

@@ -232,10 +232,13 @@ def simulate_one_race(
             if c.dnf:
                 continue
             _, _, optimal = COMPOUND_INFO[c.compound]
-            deg = tire_deg[c.idx]
-            if deg > 0.05:
+            # f32-precision thresholds: deg==0.05 stored as float32 rounds to
+            # 0.0500000007, which must not count as "> 0.05" (matches the f32
+            # engine and the reference's double-precision equality).
+            deg = np.float32(tire_deg[c.idx])
+            if deg > np.float32(0.05):
                 optimal = int(optimal * 0.85)
-            elif deg < 0.02:
+            elif deg < np.float32(0.02):
                 optimal = int(optimal * 1.1)
             if c.tire_age > optimal and remaining > 5:
                 c.cum += cfg.pit_loss

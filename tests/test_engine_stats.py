@@ -190,3 +190,30 @@ def test_wet_race_matches_native_oracle():
     engine = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(5), 16_384, laps))
     tv = 0.5 * np.abs(native - engine).sum(axis=1)
     assert tv.max() < 0.06, tv
+
+
+@pytest.mark.slow
+def test_exact_default_deg_matches_native_oracle():
+    """Regression: drivers with tire_deg EXACTLY 0.05 (the default). The
+    f32 value rounds to 0.0500000007, which must not trip the '> 0.05'
+    high-degradation pit adjustment — comparisons must happen at f32
+    precision in engine and oracles alike (this mismatch once skewed mean
+    finishes by ~3 positions)."""
+    from monte_carlo_gp_tpu.validate.native_oracle import available, run_native_oracle
+
+    if not available():
+        pytest.skip("g++ unavailable")
+    d, laps = 10, 40
+    sc = scenario(d, seed=23)
+    sc["tire_deg"] = np.full(d, 0.05, np.float32)  # all exactly default
+    sc["base_pace"] = (90.0 + 0.08 * np.arange(d)).astype(np.float32)
+    # grid anti-correlated with pace: fastest car starts last
+    gp = np.zeros((d, d), np.float32)
+    gp[np.arange(d), d - 1 - np.arange(d)] = 1.0
+    sc["grid_probs"] = gp
+    params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
+    native = run_native_oracle(params, seed=11, n_sims=20_000, total_laps=laps)
+    engine = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(11), 16_384, laps))
+    positions = np.arange(1, d + 1)
+    diff = np.abs(native @ positions - engine @ positions)
+    assert diff.max() < 0.25, (native @ positions, engine @ positions)
