@@ -432,3 +432,96 @@ def test_no_overtake_below_delta_threshold():
     out, _ = _jit_step(params, 57, cars, jnp.zeros((n, ), jnp.int32), jnp.int32(10))
     cum_out = np.asarray(out.cum_time)
     assert (cum_out[:, 0] < cum_out[:, 1]).all()
+
+
+# ---------------------------------------------------------------------------
+# Boundary conditions
+# ---------------------------------------------------------------------------
+
+
+def test_drs_window_is_strict():
+    """DRS requires gap strictly < 1.0s (simulation.py:558)."""
+    params = quiet_params(d=3)
+    cars = fresh_cars(params, [0.0, 1.0, 1.5])
+    out, _ = step(params, cars, lap=10)
+    # identical pace cars -> gaps preserved: exactly 1.0 -> no DRS; 0.5 -> DRS
+    drs = np.asarray(out.drs)[0]
+    assert drs.tolist() == [False, False, True]
+
+
+def test_pit_boundary_remaining_exactly_six():
+    """Pit requires remaining > 5: remaining == 6 pits, remaining == 5 not."""
+    params = pit_params(d=1)
+    cars = fresh_cars(params, [0.0])
+    cars = dataclasses.replace(
+        cars,
+        compound=jnp.asarray([[cfg.SOFT]], jnp.int32),
+        tire_age=jnp.asarray([[30]], jnp.int32),
+    )
+    out6, _ = step(params, cars, lap=51, total_laps=57)  # remaining 6
+    assert np.asarray(out6.pit_stops)[0][0] == 1
+    out5, _ = step(params, cars, lap=52, total_laps=57)  # remaining 5
+    assert np.asarray(out5.pit_stops)[0][0] == 0
+
+
+def test_red_flag_near_race_end_picks_soft():
+    """remaining <= 15 -> SOFT at a red-flag restart (simulation.py:419-423)."""
+    params = quiet_params(d=2, red_flag_prob=1.0)
+    cars = fresh_cars(params, [0.0, 5.0])
+    out, _ = step(params, cars, lap=50, total_laps=57)  # remaining 7
+    assert (np.asarray(out.compound)[0] == cfg.SOFT).all()
+
+
+def test_all_cars_dnf_classification():
+    """Everyone retired: classification orders purely by (lap desc, cum desc)."""
+    params = quiet_params(d=4)
+    cars = fresh_cars(params, [10.0, 20.0, 30.0, 40.0])
+    cars = dataclasses.replace(
+        cars,
+        dnf=jnp.asarray([[True, True, True, True]]),
+        dnf_lap=jnp.asarray([[5, 9, 9, 2]], jnp.int32),
+    )
+    pos = np.asarray(classify(cars))[0]
+    # lap 9 ties broken by cum desc: car2 (30) before car1 (20); then 5, then 2
+    np.testing.assert_array_equal(pos, [3, 2, 1, 4])
+
+
+def test_overtake_probability_caps_at_half():
+    """delta/2 > 0.5 still succeeds at most 50% (simulation.py:524)."""
+    params = quiet_params(
+        d=2,
+        base_pace=np.array([95.0, 90.0], np.float32),  # delta 5.0 -> prob cap
+        overtake_delta=0.6,
+        dirty_air_threshold=0.0,
+    )
+    n = 4000
+    cars = init_cars(params, jnp.tile(jnp.arange(2), (n, 1)))
+    # gap 10s: one lap of 5s/lap raw pace difference cannot close it, so a
+    # position change can only come from the overtake step
+    cum = jnp.tile(jnp.asarray([[0.0, 10.0]], jnp.float32), (n, 1))
+    cars = dataclasses.replace(
+        cars, cum_time=cum, behind_leader=cum,
+        laps_done=jnp.ones((n, 2), jnp.int32),
+    )
+    out, _ = _jit_step(params, 57, cars, jnp.zeros((n,), jnp.int32), jnp.int32(10))
+    cum_out = np.asarray(out.cum_time)
+    # prob = min(0.5, 5/2) caps at 0.5; with a single pair, a failed first
+    # pass ends the cascade (reference early break), so overall ~0.5
+    rate = (cum_out[:, 1] < cum_out[:, 0]).mean()
+    assert 0.45 < rate < 0.55, rate
+
+
+def test_vsc_refund_is_about_30_percent():
+    params = quiet_params(d=2, vsc_prob=1.0)
+    n = 4000
+    cars = init_cars(params, jnp.tile(jnp.arange(2), (n, 1)))
+    cars = dataclasses.replace(
+        cars,
+        cum_time=jnp.tile(jnp.asarray([[0.0, 10.0]], jnp.float32), (n, 1)),
+        tire_age=jnp.full((n, 2), 10, jnp.int32),
+        laps_done=jnp.ones((n, 2), jnp.int32),
+    )
+    out, _ = _jit_step(params, 57, cars, jnp.zeros((n,), jnp.int32), jnp.int32(10))
+    # refund: age 10-1+1 = 10 (refund then +1 for the lap); no refund: 11
+    refunded = (np.asarray(out.tire_age)[:, 0] == 10).mean()
+    assert 0.25 < refunded < 0.35, refunded
