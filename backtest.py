@@ -79,12 +79,22 @@ def main():
     print("Loading historical data and simulating predictions...\n")
 
     if args.batched:
+        batched_engine = args.engine
+        if batched_engine == "auto":
+            import jax
+
+            batched_engine = (
+                "pallas"
+                if jax.devices()[0].platform == "tpu" and len(jax.devices()) == 1
+                else "xla"
+            )
         results = backtest_model_batched(
             predictor_factory,
             args.seasons,
             seed=args.seed,
             n_simulations=args.simulations,
             reference_compat_elo_noop=args.reference_compat_elo_noop,
+            engine=batched_engine,
         )
     else:
         results = backtest_model(

@@ -187,6 +187,7 @@ def backtest_model_batched(
     n_simulations: int = 10_000,
     reference_compat_elo_noop: bool = False,
     mesh=None,
+    engine: str = "xla",
     verbose: bool = True,
 ) -> dict:
     """TPU-native season backtest: the walk-forward Elo/feature preparation
@@ -219,15 +220,28 @@ def backtest_model_batched(
                     print(f"Skipping {season} {race}: {e}")
         if not plans:
             continue
-        from monte_carlo_gp_tpu.parallel.sharded import simulate_season_sharded
+        if engine == "pallas":
+            # Single-chip fast path: the fused whole-race kernel per race
+            # (~2.6x the vmapped XLA engine on one chip); the 'xla' path
+            # shards races x sims across a mesh for multi-chip scale-out.
+            # A list (not a stack): driver counts may differ across races.
+            predictor._engine = "pallas"
+            probs = [
+                predictor._simulate(
+                    plan, n_simulations, seed * 1_000_003 + season * 100 + r
+                )
+                for r, plan in enumerate(plans)
+            ]
+        else:
+            from monte_carlo_gp_tpu.parallel.sharded import simulate_season_sharded
 
-        probs = simulate_season_sharded(
-            [p.params for p in plans],
-            [p.total_laps for p in plans],
-            jax.random.PRNGKey(seed * 1_000_003 + season),
-            n_sims=n_simulations,
-            mesh=mesh,
-        )
+            probs = simulate_season_sharded(
+                [p.params for p in plans],
+                [p.total_laps for p in plans],
+                jax.random.PRNGKey(seed * 1_000_003 + season),
+                n_sims=n_simulations,
+                mesh=mesh,
+            )
         for plan, act, p in zip(plans, acts, probs):
             d = len(plan.drivers)
             pred = predictor.assemble_result(plan, p[:d, :d])
