@@ -132,3 +132,22 @@ def test_elo_cache_rejects_corrupt(tmp_path):
     assert load_elo(p) is None
     p.write_text('{"version": 99, "ratings": {}}')
     assert load_elo(p) is None
+
+
+def test_predictor_elo_cache_roundtrip(tmp_path):
+    """use_elo_cache=True persists ratings after a build and a fresh
+    predictor resumes from them without reprocessing seasons."""
+    from monte_carlo_gp_tpu.models.predictor import F1Predictor
+
+    backend = SyntheticBackend(seed=5, n_events=2)
+    p1 = F1Predictor(cache_dir=tmp_path, backend=backend, use_elo_cache=True)
+    p1._build_elo(2024)
+    assert (tmp_path / "elo_ratings.json").exists()
+    r_before = p1.elo_system.get_rating("VER", "race")
+
+    p2 = F1Predictor(cache_dir=tmp_path, backend=backend, use_elo_cache=True)
+    assert p2._processed_seasons == p1._processed_seasons
+    assert abs(p2.elo_system.get_rating("VER", "race") - r_before) < 1e-4
+    # _build_elo is now a no-op for processed seasons (no double counting)
+    p2._build_elo(2024)
+    assert abs(p2.elo_system.get_rating("VER", "race") - r_before) < 1e-4

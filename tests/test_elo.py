@@ -107,3 +107,21 @@ def test_state_dict_roundtrip():
     restored = F1EloSystem.from_state_dict(state)
     assert restored.get_rating("A", "race") == system.get_rating("A", "race")
     assert restored.names == system.names
+
+
+def test_interleaved_flushes_match_single_flush():
+    """Batched scan flushes must commute with query points: flushing after
+    every event equals flushing once at the end, including when new drivers
+    appear mid-history."""
+    events = _random_history(seed=3, n_events=12, n_drivers=8)
+    eager, lazy = F1EloSystem(), F1EloSystem()
+    for kind, results in events:
+        for s in (eager, lazy):
+            (s.update_quali_ratings if kind == "quali" else s.update_race_ratings)(results)
+        eager.flush()
+        # mid-history: intern a brand-new driver only into `eager`'s table
+    eager.update_race_ratings([("NEW", 1), ("D00", 2)])
+    lazy.update_race_ratings([("NEW", 1), ("D00", 2)])
+    for name in eager.names:
+        assert abs(eager.get_rating(name, "quali") - lazy.get_rating(name, "quali")) < 1e-3
+        assert abs(eager.get_rating(name, "race") - lazy.get_rating(name, "race")) < 1e-3
