@@ -364,14 +364,22 @@ def _race_kernel(total_laps: int, d: int, s: int):
                 prob = jnp.minimum(0.5, delta * 0.5)
                 swap = eligible & (uniform() < prob) & pass_active
                 swap_f = swap.astype(jnp.float32)
+                # Sequential time-rewrite chain in position-row space: pull
+                # the per-position cumulative times and swap flags into (1,S)
+                # rows once, run the 19-step recurrence on rows (cheap), and
+                # write the rows back with one select per position — ~40%
+                # fewer (D,S) ops than updating `cum` inside the chain.
+                masks = [orank == p for p in range(d)]
+                rows = [row_pick(masks[p], cum) for p in range(d)]
+                swap_rows = [None] + [
+                    row_pick(masks[p], swap_f) > 0.5 for p in range(1, d)
+                ]
                 for p in range(1, d):
-                    a_mask = orank == p - 1
-                    b_mask = orank == p
-                    cur_ahead = row_pick(a_mask, cum)
-                    swap_p = row_pick(b_mask, swap_f) > 0.5
-                    nb = jnp.maximum(0.1, cur_ahead - 0.1)
-                    cum = jnp.where(a_mask & swap_p, nb + 0.3, cum)
-                    cum = jnp.where(b_mask & swap_p, nb, cum)
+                    nb = jnp.maximum(0.1, rows[p - 1] - 0.1)
+                    rows[p - 1] = jnp.where(swap_rows[p], nb + 0.3, rows[p - 1])
+                    rows[p] = jnp.where(swap_rows[p], nb, rows[p])
+                for p in range(d):
+                    cum = jnp.where(masks[p], rows[p], cum)
                 pass_active = pass_active & (
                     jnp.max(swap_f, axis=0, keepdims=True) > 0.5
                 )

@@ -36,21 +36,24 @@ def rank_by(keys: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(before, axis=-1, dtype=jnp.int32)
 
 
-def _rank_onehot(rank: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """(..., D) int32 ranks -> (..., D[car], D[pos]) one-hot permutation."""
-    d = rank.shape[-1]
-    return (rank[..., :, None] == jnp.arange(d, dtype=jnp.int32)).astype(dtype)
-
-
 def scatter_by_rank(values: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
     """Reorder car-indexed `values` into position-indexed order.
 
     out[..., p] = values of the car whose rank is p. `rank` must be a
     permutation (as produced by `rank_by`).
+
+    Implemented as an unrolled relational select over the D cars: each step
+    is an elementwise (..., D) where, so XLA fuses the whole permutation
+    without materializing a (..., D, D) one-hot (the einsum formulation
+    round-trips ~3x the state through HBM).
     """
-    p = _rank_onehot(rank)
-    out = jnp.einsum("...cp,...c->...p", p, values.astype(jnp.float32))
-    return out.astype(values.dtype) if jnp.issubdtype(values.dtype, jnp.floating) else jnp.round(out).astype(values.dtype)
+    d = rank.shape[-1]
+    pos = jnp.arange(d, dtype=jnp.int32)
+    out = jnp.zeros_like(values)
+    for c in range(d):
+        # car c lands at position rank[..., c]
+        out = jnp.where(rank[..., c : c + 1] == pos, values[..., c : c + 1], out)
+    return out
 
 
 def gather_at_rank(sorted_values: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
@@ -58,11 +61,13 @@ def gather_at_rank(sorted_values: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray
 
     out[..., c] = sorted_values[..., rank[c]].
     """
-    p = _rank_onehot(rank)
-    out = jnp.einsum("...cp,...p->...c", p, sorted_values.astype(jnp.float32))
-    if jnp.issubdtype(sorted_values.dtype, jnp.floating):
-        return out.astype(sorted_values.dtype)
-    return jnp.round(out).astype(sorted_values.dtype)
+    d = rank.shape[-1]
+    pos = jnp.arange(d, dtype=jnp.int32)
+    out = jnp.zeros_like(sorted_values)
+    for p in range(d):
+        # position p's value goes to every car whose rank is p (exactly one)
+        out = jnp.where(rank == p, sorted_values[..., p : p + 1], out)
+    return out
 
 
 def value_of_car_ahead(
