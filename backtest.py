@@ -44,7 +44,8 @@ def main():
     )
     parser.add_argument(
         "--engine", choices=["auto", "xla", "pallas"], default="auto",
-        help="Simulation backend for non-batched mode",
+        help="Simulation backend: fused Pallas kernel (single TPU) or XLA "
+             "lap-scan (CPU / multi-chip)",
     )
     parser.add_argument(
         "--reference-compat-elo-noop", action="store_true",
@@ -79,15 +80,9 @@ def main():
     print("Loading historical data and simulating predictions...\n")
 
     if args.batched:
-        batched_engine = args.engine
-        if batched_engine == "auto":
-            import jax
+        from monte_carlo_gp_tpu.models.predictor import resolve_engine
 
-            batched_engine = (
-                "pallas"
-                if jax.devices()[0].platform == "tpu" and len(jax.devices()) == 1
-                else "xla"
-            )
+        batched_engine = resolve_engine(args.engine)
         results = backtest_model_batched(
             predictor_factory,
             args.seasons,

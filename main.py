@@ -119,7 +119,7 @@ def main():
                     prediction_point=args.prediction_point,
                 )
             with timers("simulate (Monte Carlo)"):
-                probs = predictor._simulate(plan, args.simulations, args.seed)
+                probs = predictor.simulate_plan(plan, args.simulations, args.seed)
             results = predictor.assemble_result(plan, probs)
     except ValueError as e:
         print(f"Error: {e}")

@@ -133,12 +133,15 @@ class F1FeatureEngine:
                 index=["season", "circuit"], columns="Driver",
                 values="LapTime", aggfunc="min",
             )
-        if "Team" in laps.columns:
-            t["driver_team"] = laps.groupby("Driver")["Team"].first()
-            t["team_drivers"] = {
-                team: list(grp.index)
-                for team, grp in t["driver_team"].groupby(t["driver_team"])
-            }
+            if "Team" in q.columns:
+                # Team PER EVENT — drivers change teams between seasons, so
+                # teammate comparisons must match rosters event by event
+                # (reference features.py:159-181 compares within each
+                # session's own team grouping).
+                t["q_team_pivot"] = q.pivot_table(
+                    index=["season", "circuit"], columns="Driver",
+                    values="Team", aggfunc="first",
+                )
         # per-driver lap-time sums/counts overall and per short circuit name
         # (circuit affinity = mean over laps, reference features.py:214-234)
         lt = laps.dropna(subset=["LapTime"])
@@ -219,25 +222,27 @@ class F1FeatureEngine:
     def _teammate_delta(self, driver: str) -> float:
         """Mean % best-lap delta vs teammate per (season, circuit) session
         (features.py:135-185 intent; see module docstring on the reference's
-        dead-code form). Positive = faster than teammate."""
+        dead-code form). Positive = faster than teammate. Teammates are
+        matched per event, so team changes between seasons compare against
+        the right car in each season."""
         t = self._t()
-        if not t or "q_best_pivot" not in t or "driver_team" not in t:
+        if not t or "q_best_pivot" not in t or "q_team_pivot" not in t:
             return 0.0
         pivot = t["q_best_pivot"]
-        team = t["driver_team"].get(driver)
-        if team is None or driver not in pivot.columns:
-            return 0.0
-        teammates = [
-            d for d in t["team_drivers"].get(team, [])
-            if d != driver and d in pivot.columns
-        ]
-        if not teammates:
+        teams = t["q_team_pivot"]
+        if driver not in pivot.columns or driver not in teams.columns:
             return 0.0
         mine = pivot[driver]
+        my_team = teams[driver]
         deltas = []
-        for mate in teammates:
+        for mate in pivot.columns:
+            if mate == driver or mate not in teams.columns:
+                continue
             theirs = pivot[mate]
-            ok = mine.notna() & theirs.notna() & (theirs > 0)
+            ok = (
+                mine.notna() & theirs.notna() & (theirs > 0)
+                & my_team.notna() & (teams[mate] == my_team)
+            )
             if ok.any():
                 deltas.append(((theirs[ok] - mine[ok]) / theirs[ok] * 100.0))
         if not deltas:

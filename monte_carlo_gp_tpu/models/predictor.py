@@ -65,6 +65,22 @@ DEFAULT_DEG = 0.05
 ELO_SEASON_FLOOR = 2017  # seasons must be > this (predictor.py:275)
 
 
+def resolve_engine(engine: str) -> str:
+    """Single engine policy for CLIs and the predictor: 'auto' picks the
+    fused Pallas kernel only on a single-TPU host (it is a one-chip kernel);
+    multi-chip hosts use the XLA path, which shards across the mesh."""
+    if engine == "auto":
+        devices = jax.devices()
+        return (
+            "pallas"
+            if devices[0].platform == "tpu" and len(devices) == 1
+            else "xla"
+        )
+    if engine not in ("xla", "pallas"):
+        raise ValueError(f"unknown engine {engine!r} (use 'xla' or 'pallas')")
+    return engine
+
+
 import dataclasses
 
 
@@ -107,11 +123,7 @@ class F1Predictor:
         self._elo_cache_path = Path(cache_dir) / "elo_ratings.json"
         self._use_elo_cache = use_elo_cache
         self._sims_per_block = sims_per_block
-        if engine == "auto":
-            engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-        if engine not in ("xla", "pallas"):
-            raise ValueError(f"unknown engine {engine!r} (use 'xla' or 'pallas')")
-        self._engine = engine
+        self._engine = resolve_engine(engine)
         if use_elo_cache:
             loaded = load_with_priority(external_elo_cache, self._elo_cache_path)
             if loaded is not None:
@@ -191,7 +203,7 @@ class F1Predictor:
             prediction_point=prediction_point,
             actual_grid=actual_grid,
         )
-        probs = self._simulate(plan, n_simulations, seed)
+        probs = self.simulate_plan(plan, n_simulations, seed)
         return self.assemble_result(plan, probs)
 
     def prepare_weekend(
@@ -304,11 +316,19 @@ class F1Predictor:
             and prediction_point in ("quali", "sprint"),
         )
 
-    def _simulate(
-        self, plan: "WeekendPlan", n_simulations: int, seed: int | None
+    def simulate_plan(
+        self,
+        plan: "WeekendPlan",
+        n_simulations: int,
+        seed: int | None = None,
+        engine: str | None = None,
     ) -> np.ndarray:
+        """Run the Monte Carlo for a prepared weekend; returns the (D, D)
+        finish-probability matrix. `engine` overrides the predictor's
+        configured backend for this call."""
+        engine = resolve_engine(engine) if engine else self._engine
         key = jax.random.PRNGKey(0 if seed is None else seed)
-        if self._engine == "pallas":
+        if engine == "pallas":
             from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas
 
             tile = min(1024, int(n_simulations))

@@ -225,10 +225,10 @@ def backtest_model_batched(
             # (~2.6x the vmapped XLA engine on one chip); the 'xla' path
             # shards races x sims across a mesh for multi-chip scale-out.
             # A list (not a stack): driver counts may differ across races.
-            predictor._engine = "pallas"
             probs = [
-                predictor._simulate(
-                    plan, n_simulations, seed * 1_000_003 + season * 100 + r
+                predictor.simulate_plan(
+                    plan, n_simulations, seed * 1_000_003 + season * 100 + r,
+                    engine="pallas",
                 )
                 for r, plan in enumerate(plans)
             ]
