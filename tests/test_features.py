@@ -211,3 +211,22 @@ def test_full_pipeline_on_synthetic(tmp_path):
     assert (ra["deg_rate"] >= 0.01).all() and (ra["deg_rate"] <= 0.15).all()
     assert (ra["dnf_probability"] >= 0.01).all() and (ra["dnf_probability"] <= 0.20).all()
     assert (np.abs(qa["form_score"]) <= 1.0).all()
+
+
+def test_teammate_delta_respects_team_changes():
+    """A driver who switches teams between seasons must be compared against
+    each season's ACTUAL teammate, not a static roster."""
+    laps = pd.DataFrame(
+        # 2023: X at TeamA with mate M1; 2024: X at TeamB with mate M2.
+        lap_rows("X", "TeamA", 2023, "R1", "Q", [90.0])
+        + lap_rows("M1", "TeamA", 2023, "R1", "Q", [91.0])
+        + lap_rows("M2", "TeamB", 2023, "R1", "Q", [88.0])
+        + lap_rows("X", "TeamB", 2024, "R1", "Q", [90.0])
+        + lap_rows("M2", "TeamB", 2024, "R1", "Q", [89.0])
+        + lap_rows("M1", "TeamA", 2024, "R1", "Q", [85.0])
+    )
+    eng = make_engine(laps)
+    delta = eng.calculate_quali_features("X", "R1")["teammate_delta"]
+    # 2023 vs M1: (91-90)/91*100 = +1.0989; 2024 vs M2: (89-90)/89*100 = -1.1236
+    expected = np.mean([(91 - 90) / 91 * 100, (89 - 90) / 89 * 100])
+    assert delta == pytest.approx(expected, rel=1e-4)
