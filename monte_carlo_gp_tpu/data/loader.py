@@ -221,6 +221,24 @@ class F1DataLoader:
             except ImportError:
                 self.backend = None
 
+    @property
+    def now(self) -> pd.Timestamp:
+        """The loader's clock: only events dated <= now are 'past'."""
+        return self._now
+
+    def set_now(self, now: pd.Timestamp) -> None:
+        """Re-pin the loader's clock. Used by the walk-forward backtest to
+        restrict `past_events` (and everything derived from it — Elo season
+        builds, feature archives) to races strictly before the race being
+        predicted, eliminating look-ahead leakage when backtesting a season
+        that has already completed in wall-clock time. Session-level loads
+        (`load_session`, `load_results`, `get_weather`) are clock-free; only
+        schedule filtering changes, so memoized session data stays valid."""
+        now = pd.to_datetime(now)
+        if now.tzinfo is None:
+            now = now.tz_localize("UTC")
+        self._now = now
+
     # -- core loads ----------------------------------------------------------
 
     def _resolve_event(self, season: int, race: str) -> str:

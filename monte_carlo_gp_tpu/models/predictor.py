@@ -120,6 +120,8 @@ class F1Predictor:
         self.elo_system = F1EloSystem()
         self._processed_seasons: set[int] = set()
         self._features_loaded = False
+        self._features_now = None  # loader clock at last feature load
+        self.last_effective_sims: int | None = None
         self._elo_cache_path = Path(cache_dir) / "elo_ratings.json"
         self._use_elo_cache = use_elo_cache
         self._sims_per_block = sims_per_block
@@ -225,9 +227,18 @@ class F1Predictor:
         circuit_info = circuit_info or self._get_circuit_info(race)
 
         historical_seasons = self._build_elo(season)
-        if not self._features_loaded and historical_seasons:
+        # Features load once per loader clock: in normal operation the clock
+        # never moves so this is a single load (reference features.py:16-72);
+        # when the walk-forward backtest re-pins the clock per race
+        # (loader.set_now), the archive is rebuilt so feature inputs only see
+        # races strictly before the one being predicted (no look-ahead).
+        loader_now = self.data_loader.now
+        if historical_seasons and (
+            not self._features_loaded or self._features_now != loader_now
+        ):
             self.feature_engine.load_historical_data(historical_seasons)
             self._features_loaded = True
+            self._features_now = loader_now
 
         # FP data via fallback chain.
         fp_data = pd.DataFrame()
@@ -330,15 +341,28 @@ class F1Predictor:
         key = jax.random.PRNGKey(0 if seed is None else seed)
         if engine == "pallas":
             from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas
+            from monte_carlo_gp_tpu.utils.logging import log_event
 
             tile = min(1024, int(n_simulations))
-            # round up to a whole number of tiles; probabilities renormalize
+            # Round up to a whole number of kernel tiles; probabilities
+            # renormalize over the effective count. Surfaced (not silent):
+            # logged here and recorded in `last_effective_sims`, which
+            # `assemble_result` copies into the result dict.
             n_eff = -(-int(n_simulations) // tile) * tile
+            if n_eff != int(n_simulations):
+                log_event(
+                    "pallas_sims_rounded",
+                    requested=int(n_simulations),
+                    effective=n_eff,
+                    tile=tile,
+                )
+            self.last_effective_sims = n_eff
             return np.asarray(
                 run_monte_carlo_pallas(
                     plan.params, key, n_eff, plan.total_laps, sims_per_tile=tile
                 )
             )
+        self.last_effective_sims = int(n_simulations)
         return np.asarray(
             run_monte_carlo(
                 plan.params, key, int(n_simulations), plan.total_laps,
@@ -371,6 +395,9 @@ class F1Predictor:
             "prediction_point": plan.prediction_point,
             "confidence": CONFIDENCE_LEVELS.get(plan.prediction_point, "moderate"),
             "grid_is_actual": plan.grid_is_actual,
+            # Additive over the reference dict: the sim count actually run
+            # (the Pallas kernel rounds up to whole tiles; see simulate_plan).
+            "n_simulations_effective": getattr(self, "last_effective_sims", None),
         }
 
     # -- qualifying model (reference predictor.py:466-520) -----------------------

@@ -11,6 +11,14 @@ Fixes and additions over the reference:
     exception is swallowed (validation.py:191-199 — SURVEY.md §3.2 ⚠), so the
     walk-forward never learns within the backtested season. Set
     `reference_compat_elo_noop=True` to reproduce that behavior for A/B runs.
+  * no look-ahead leakage: before predicting race k the data loader's clock
+    is pinned to just before race k's event date (`loader.set_now`), so the
+    Elo season build and the feature archive only ever see races < k; all
+    within-season Elo learning flows exclusively through the explicit
+    actual-result updates (no double-applied events). The reference loads the
+    full already-completed season into Elo and features before race 1 when
+    backtesting the past (its walk-forward only "worked" because the updates
+    no-op'd). Set `pin_clock=False` to reproduce that leaky behavior.
   * checkpoint/resume: per-race results append to a JSONL file; a resumed
     backtest replays completed races' Elo updates (so the predictor state
     matches) and continues from the first missing race (SURVEY.md §5).
@@ -22,6 +30,9 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import pandas as pd
+
+from monte_carlo_gp_tpu.utils.logging import log_event
 from monte_carlo_gp_tpu.validate.metrics import (
     brier_score,
     calibration_analysis,
@@ -32,6 +43,27 @@ from monte_carlo_gp_tpu.validate.metrics import (
 def get_races(loader, season: int) -> list[str]:
     """Past, non-testing event names for a season (validation.py:8-27)."""
     return [ev["EventName"] for ev in loader.past_events(season)]
+
+
+def _race_cutoffs(loader, season: int) -> list[pd.Timestamp | None]:
+    """Per-race clock cutoffs: just before each event's date, so pinning the
+    loader there exposes only races strictly earlier in the calendar."""
+    cutoffs = []
+    for ev in loader.past_events(season):
+        date = ev.get("EventDate")
+        if date is None or pd.isna(date):
+            cutoffs.append(None)
+            continue
+        date = pd.to_datetime(date)
+        if date.tzinfo is None:
+            date = date.tz_localize("UTC")
+        cutoffs.append(date - pd.Timedelta(seconds=1))
+    return cutoffs
+
+
+def _pin(loader, cutoffs, idx: int, enabled: bool) -> None:
+    if enabled and idx < len(cutoffs) and cutoffs[idx] is not None:
+        loader.set_now(cutoffs[idx])
 
 
 def get_actual_results(loader, season: int, race: str) -> dict:
@@ -90,6 +122,7 @@ def backtest_model(
     n_simulations: int = 10_000,
     checkpoint_path: str | Path | None = None,
     reference_compat_elo_noop: bool = False,
+    pin_clock: bool = True,
     verbose: bool = True,
 ) -> dict:
     """Run the walk-forward backtest and score it.
@@ -102,6 +135,9 @@ def backtest_model(
       seed: base seed; each race's Monte Carlo uses fold (seed, season, race
         index) so results are order-independent and reproducible.
       checkpoint_path: optional JSONL file for resumable progress.
+      pin_clock: pin the loader clock to each race's date before predicting
+        it, so Elo/feature inputs never see that race or later ones (see
+        module docstring). False reproduces the reference's leaky behavior.
 
     Returns the reference's result dict: pole_brier, win_brier,
     podium_accuracy, calibration_curve, n_races.
@@ -114,12 +150,15 @@ def backtest_model(
         predictor = predictor_factory()
         loader = predictor.data_loader
         races = get_races(loader, season)
+        cutoffs = _race_cutoffs(loader, season)
         if done and hasattr(predictor, "_build_elo"):
             # Resume: the historical-season Elo build must land BEFORE the
             # replayed actual-result updates — in an uninterrupted run,
             # race 1's predict_weekend builds it before any actuals apply.
             # Elo updates are order-dependent, so skipping this would make a
-            # resumed backtest diverge from the original.
+            # resumed backtest diverge from the original. Pin the clock to
+            # race 1 first so the build matches the uninterrupted run's.
+            _pin(loader, cutoffs, 0, pin_clock)
             predictor._build_elo(season)
         for race_idx, race in enumerate(races):
             key = (season, race)
@@ -132,6 +171,7 @@ def backtest_model(
                 )
                 continue
             try:
+                _pin(loader, cutoffs, race_idx, pin_clock)
                 pred = predictor.predict_weekend(
                     season,
                     race,
@@ -147,6 +187,14 @@ def backtest_model(
                 predictions.append(slim)
                 actuals.append(act)
                 _apply_actual_elo(predictor, act, reference_compat_elo_noop)
+                log_event(
+                    "backtest_race",
+                    season=season,
+                    race=race,
+                    idx=race_idx,
+                    winner=act.get("winner"),
+                    pole=act.get("pole"),
+                )
                 if ckpt:
                     ckpt.parent.mkdir(parents=True, exist_ok=True)
                     with ckpt.open("a") as f:
@@ -162,6 +210,7 @@ def backtest_model(
                             + "\n"
                         )
             except Exception as e:  # noqa: BLE001 — skip bad races (validation.py:201)
+                log_event("backtest_skip", season=season, race=race, error=str(e))
                 if verbose:
                     print(f"Skipping {season} {race}: {e}")
 
@@ -186,6 +235,7 @@ def backtest_model_batched(
     seed: int = 42,
     n_simulations: int = 10_000,
     reference_compat_elo_noop: bool = False,
+    pin_clock: bool = True,
     mesh=None,
     engine: str = "xla",
     verbose: bool = True,
@@ -208,14 +258,17 @@ def backtest_model_batched(
         predictor = predictor_factory()
         loader = predictor.data_loader
         plans, acts = [], []
-        for race in get_races(loader, season):
+        cutoffs = _race_cutoffs(loader, season)
+        for race_idx, race in enumerate(get_races(loader, season)):
             try:
+                _pin(loader, cutoffs, race_idx, pin_clock)
                 plan = predictor.prepare_weekend(season, race)
                 act = get_actual_results(loader, season, race)
                 plans.append(plan)
                 acts.append(act)
                 _apply_actual_elo(predictor, act, reference_compat_elo_noop)
             except Exception as e:  # noqa: BLE001
+                log_event("backtest_skip", season=season, race=race, error=str(e))
                 if verbose:
                     print(f"Skipping {season} {race}: {e}")
         if not plans:

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from monte_carlo_gp_tpu.utils.logging import log_event
+
 RANDOM_BRIER_BASELINE = 0.0475  # 20-driver random guess (backtest.py:56-59)
 
 
@@ -19,7 +21,10 @@ def brier_score(predictions: list[dict], actuals: list[str | None]) -> float:
             continue
         probs = list(pred.values())
         if not all(0 <= p <= 1 for p in probs):
-            print("Warning: invalid probabilities detected (not in [0,1])")
+            log_event(
+                "invalid_probabilities",
+                detail="brier input not in [0,1], race skipped",
+            )
             continue
         score = sum(
             (p - (1.0 if d == actual else 0.0)) ** 2 for d, p in pred.items()
