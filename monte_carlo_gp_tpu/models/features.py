@@ -17,7 +17,19 @@ Design differences (all deliberate):
     driver's own laps into `_calc_teammate_delta` (features.py:81-88), so no
     teammate rows exist and it always returns 0.0;
   * `avg_gap_to_pole_pct` is actually computed (the reference stubs it to a
-    constant 1.0, features.py:128-133).
+    constant 1.0, features.py:128-133);
+  * `circuit_affinity` matches archive events by short circuit name
+    ('Bahrain' ⊂ 'Bahrain Grand Prix'). The reference matches raw labels
+    (`features.py:205-209`): its archive stores full event names while the
+    similarity table holds short names, so the isin() never matches and the
+    feature is 0.0 in practice;
+  * the reference's RECENT_LAPS=100 qualifying window (features.py:76-84) is
+    consumed ONLY by the gap-to-pole stub (1.0 vs 1.5 branch) and the dead
+    teammate feature, so it has no live effect to reproduce — measured by
+    tests/test_reference_ab.py.
+
+`reference_compat=True` reproduces the reference's literal behavior for all
+three divergent features (for A/B validation against the real code).
 
 Everything here is off the hot path; outputs become jnp tensors at the
 predictor boundary.
@@ -40,11 +52,12 @@ def _safe_div(a, b, default=0.0):
 class F1FeatureEngine:
     """Same public surface as the reference (features.py:10-126)."""
 
-    def __init__(self, data_loader):
+    def __init__(self, data_loader, reference_compat: bool = False):
         self.loader = data_loader
         self.laps = pd.DataFrame()
         self.race_results = pd.DataFrame()
         self._tables: dict | None = None
+        self.reference_compat = reference_compat
 
     # -- loading (reference features.py:16-72) --------------------------------
 
@@ -157,6 +170,30 @@ class F1FeatureEngine:
     # -- public per-driver API (reference features.py:74-126) ------------------
 
     def calculate_quali_features(self, driver: str, circuit: str) -> dict:
+        if self.reference_compat:
+            return {
+                # Reference stub (features.py:128-133): 1.0 whenever the
+                # driver has any recent Q laps, 1.5 otherwise. The tail(100)
+                # window cannot change emptiness, so "any Q laps" is exact.
+                "avg_gap_to_pole_pct": (
+                    1.0
+                    if not self.laps.empty
+                    and (
+                        (self.laps["Driver"] == driver)
+                        & (self.laps["session_type"] == "Q")
+                    ).any()
+                    else 1.5
+                ),
+                # Dead in the reference: only the driver's own laps reach
+                # _calc_teammate_delta (features.py:81-88).
+                "teammate_delta": 0.0,
+                "circuit_affinity": self._circuit_affinity_compat(driver, circuit),
+                "q3_conversion": self._q3_rate(driver),
+                "low_speed_strength": self._sector_strength(driver, "low_speed"),
+                "high_speed_strength": self._sector_strength(driver, "high_speed"),
+                "traction_strength": self._sector_strength(driver, "traction"),
+                "form_score": self._form_score(driver),
+            }
         return {
             "avg_gap_to_pole_pct": self._gap_to_pole(driver),
             "teammate_delta": self._teammate_delta(driver),
@@ -277,6 +314,27 @@ class F1FeatureEngine:
         if overall_avg == 0:
             return 0.0
         return float(np.clip((overall_avg - circuit_avg) / overall_avg, -0.5, 0.5))
+
+    def _circuit_affinity_compat(self, driver: str, circuit: str) -> float:
+        """The reference's literal circuit-affinity computation
+        (features.py:187-234): archive rows matched by RAW circuit label
+        against [circuit] + similar short names. Because the archive stores
+        full event names, this is 0.0 for short-name inputs — kept only for
+        A/B validation; the default path fixes the matching."""
+        if self.laps.empty or "LapTime" not in self.laps.columns:
+            return 0.0
+        mine = self.laps[self.laps["Driver"] == driver]
+        if mine.empty:
+            return 0.0
+        targets = [circuit] + cfg.get_similar_tracks(circuit)
+        at_circuit = mine[mine["circuit"].isin(targets)]
+        circuit_avg = at_circuit["LapTime"].dropna().mean()
+        overall_avg = mine["LapTime"].dropna().mean()
+        if pd.isna(circuit_avg) or pd.isna(overall_avg) or overall_avg == 0:
+            return 0.0
+        return float(
+            np.clip((overall_avg - circuit_avg) / overall_avg, -0.5, 0.5)
+        )
 
     def _q3_rate(self, driver: str) -> float:
         """Share of Q sessions with >=3 laps — the reference's Q3 heuristic

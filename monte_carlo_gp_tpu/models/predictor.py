@@ -67,15 +67,12 @@ ELO_SEASON_FLOOR = 2017  # seasons must be > this (predictor.py:275)
 
 def resolve_engine(engine: str) -> str:
     """Single engine policy for CLIs and the predictor: 'auto' picks the
-    fused Pallas kernel only on a single-TPU host (it is a one-chip kernel);
-    multi-chip hosts use the XLA path, which shards across the mesh."""
+    fused Pallas kernel on any TPU host — single chip runs it directly,
+    multi-chip hosts shard the tile grid via shard_map
+    (ops/pallas_engine.run_monte_carlo_pallas_sharded) at the same per-chip
+    throughput. Non-TPU hosts use the XLA lap-scan engine."""
     if engine == "auto":
-        devices = jax.devices()
-        return (
-            "pallas"
-            if devices[0].platform == "tpu" and len(devices) == 1
-            else "xla"
-        )
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     if engine not in ("xla", "pallas"):
         raise ValueError(f"unknown engine {engine!r} (use 'xla' or 'pallas')")
     return engine
@@ -340,7 +337,10 @@ class F1Predictor:
         engine = resolve_engine(engine) if engine else self._engine
         key = jax.random.PRNGKey(0 if seed is None else seed)
         if engine == "pallas":
-            from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas
+            from monte_carlo_gp_tpu.ops.pallas_engine import (
+                run_monte_carlo_pallas,
+                run_monte_carlo_pallas_sharded,
+            )
             from monte_carlo_gp_tpu.utils.logging import log_event
 
             tile = min(1024, int(n_simulations))
@@ -357,6 +357,15 @@ class F1Predictor:
                     tile=tile,
                 )
             self.last_effective_sims = n_eff
+            if len(jax.devices()) > 1:
+                # Multi-chip: shard the tile grid; bitwise identical to the
+                # single-chip kernel for the same (key, n_eff, tile).
+                return np.asarray(
+                    run_monte_carlo_pallas_sharded(
+                        plan.params, key, n_eff, plan.total_laps,
+                        sims_per_tile=tile,
+                    )
+                )
             return np.asarray(
                 run_monte_carlo_pallas(
                     plan.params, key, n_eff, plan.total_laps, sims_per_tile=tile

@@ -145,7 +145,11 @@ def _race_kernel(total_laps: int, d: int, s: int):
         tile = pl.program_id(0)
         # Two 32-bit words per tile (the folded threefry key's full data) —
         # a single int32 seed would birthday-collide across many tiles.
+        # A third word flags padding tiles (multi-chip sharding pads the tile
+        # count to a device multiple); their histograms are zeroed so counts
+        # are bitwise identical under any device count.
         pltpu.prng_seed(seeds_ref[tile, 0], seeds_ref[tile, 1])
+        tile_valid = seeds_ref[tile, 2]
         scal = scal_ref
         active = pmat_ref[:, _ACTIVE : _ACTIVE + 1] > 0.5  # (D, 1)
         active_b = jnp.broadcast_to(active, (d, s))
@@ -435,13 +439,61 @@ def _race_kernel(total_laps: int, d: int, s: int):
             cols.append(
                 jnp.sum((final_pos == p + 1).astype(jnp.int32), axis=1, keepdims=True)
             )
-        out_ref[0, :, :] = jnp.concatenate(cols, axis=1)
+        out_ref[0, :, :] = jnp.concatenate(cols, axis=1) * tile_valid
 
     return kernel
 
 
+def _tile_seeds(key: jax.Array, n_tiles: int, n_valid: int) -> jax.Array:
+    """(n_tiles, 3) int32: the folded threefry key words for each GLOBAL tile
+    index plus a validity flag (0 for padding tiles beyond `n_valid`)."""
+
+    def tile_seed(t):
+        k = jax.random.fold_in(key, t)
+        data = (
+            jax.random.key_data(k)
+            if jnp.issubdtype(k.dtype, jax.dtypes.prng_key)
+            else k
+        )
+        words = jax.lax.bitcast_convert_type(data, jnp.int32)
+        return jnp.concatenate([words, (t < n_valid).astype(jnp.int32)[None]])
+
+    return jax.vmap(tile_seed)(jnp.arange(n_tiles))
+
+
+def _pallas_counts(
+    kernel, seeds, pmat, scal, grid_log, n_tiles, d, interpret=False
+) -> jax.Array:
+    """Invoke the fused kernel over `n_tiles` programs -> (n_tiles, D, D).
+
+    `interpret=True` runs the Pallas TPU interpreter (needed off-TPU:
+    Mosaic primitives like prng_seed have no CPU lowering; interpreter PRNG
+    returns zeros, so this validates structure, not distributions)."""
+
+    def call():
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec((d, _N_PCOLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((d, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, d, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, d, d), jnp.int32),
+        )(seeds, pmat, scal, grid_log)
+
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            return call()
+    return call()
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_sims", "total_laps", "sims_per_tile")
+    jax.jit, static_argnames=("n_sims", "total_laps", "sims_per_tile", "interpret")
 )
 def run_monte_carlo_pallas(
     params: SimParams,
@@ -449,6 +501,7 @@ def run_monte_carlo_pallas(
     n_sims: int,
     total_laps: int,
     sims_per_tile: int = DEFAULT_SIMS_PER_TILE,
+    interpret: bool = False,
 ) -> jax.Array:
     """Pallas backend for `run_monte_carlo`: (D, D) finish probabilities.
 
@@ -462,31 +515,95 @@ def run_monte_carlo_pallas(
     d = params.n_drivers
     n_tiles = n_sims // sims_per_tile
     pmat, scal, grid_log = _pack_inputs(params)
-
-    def tile_seed(t):
-        k = jax.random.fold_in(key, t)
-        data = (
-            jax.random.key_data(k)
-            if jnp.issubdtype(k.dtype, jax.dtypes.prng_key)
-            else k
-        )
-        return jax.lax.bitcast_convert_type(data, jnp.int32)
-
-    seeds = jax.vmap(tile_seed)(jnp.arange(n_tiles))  # (n_tiles, 2) int32
-
+    seeds = _tile_seeds(key, n_tiles, n_tiles)
     kernel = _race_kernel(total_laps, d, sims_per_tile)
-    counts = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((d, _N_PCOLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((d, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, d, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, d, d), jnp.int32),
-    )(seeds, pmat, scal, grid_log)
+    counts = _pallas_counts(
+        kernel, seeds, pmat, scal, grid_log, n_tiles, d, interpret
+    )
     return jnp.sum(counts, axis=0).astype(jnp.float32) / n_sims
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_sims", "total_laps", "sims_per_tile", "mesh", "sims_axis", "interpret"
+    ),
+)
+def _sharded_pallas_probs(
+    params: SimParams,
+    key: jax.Array,
+    n_sims: int,
+    total_laps: int,
+    sims_per_tile: int,
+    mesh,
+    sims_axis: str,
+    interpret: bool,
+) -> jax.Array:
+    from jax.sharding import PartitionSpec as P
+
+    d = params.n_drivers
+    n_tiles = n_sims // sims_per_tile
+    n_dev = mesh.shape[sims_axis]
+    # Pad the tile grid to a device multiple; padding tiles emit zero counts
+    # (validity word), so the summed histogram — and therefore the returned
+    # probabilities — are bitwise identical for ANY device count.
+    n_tiles_padded = -(-n_tiles // n_dev) * n_dev
+    pmat, scal, grid_log = _pack_inputs(params)
+    seeds = _tile_seeds(key, n_tiles_padded, n_tiles)
+    kernel = _race_kernel(total_laps, d, sims_per_tile)
+    local_tiles = n_tiles_padded // n_dev
+
+    def local_fn(seeds_local, pmat, scal, grid_log):
+        counts = _pallas_counts(
+            kernel, seeds_local, pmat, scal, grid_log, local_tiles, d, interpret
+        )
+        return jax.lax.psum(jnp.sum(counts, axis=0), sims_axis)
+
+    # check_vma=False: pallas_call's ShapeDtypeStruct carries no varying-mesh
+    # annotation, so shard_map's vma checker cannot type the kernel output.
+    counts = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(sims_axis), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(seeds, pmat, scal, grid_log)
+    return counts.astype(jnp.float32) / n_sims
+
+
+def run_monte_carlo_pallas_sharded(
+    params: SimParams,
+    key: jax.Array,
+    n_sims: int,
+    total_laps: int,
+    mesh=None,
+    sims_per_tile: int = DEFAULT_SIMS_PER_TILE,
+    sims_axis: str = "sims",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Multi-chip fused kernel: the tile grid is sharded over the mesh's
+    `sims_axis` via shard_map (one per-chip `pallas_call` each), with a
+    single (D, D) int32 histogram psum — the only cross-chip traffic.
+
+    Per-chip throughput equals the single-chip fused kernel (~2.6x the
+    vmapped XLA engine), and results are bitwise identical to
+    `run_monte_carlo_pallas(params, key, n_sims, total_laps, sims_per_tile)`
+    regardless of device count (global tile seeding + padded-tile zeroing).
+
+    `interpret=None` auto-selects Mosaic on TPU and the Pallas interpreter
+    elsewhere (CPU interpreter PRNG returns zeros — structure validation
+    only; see CLAUDE.md).
+    """
+    if n_sims % sims_per_tile != 0:
+        raise ValueError(
+            f"n_sims={n_sims} must be a multiple of sims_per_tile={sims_per_tile}"
+        )
+    if mesh is None:
+        from monte_carlo_gp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh({sims_axis: len(jax.devices())})
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    return _sharded_pallas_probs(
+        params, key, n_sims, total_laps, sims_per_tile, mesh, sims_axis, interpret
+    )

@@ -77,6 +77,45 @@ def test_matches_xla_engine_on_tpu():
     np.testing.assert_array_equal(pallas, again)
 
 
+def test_sharded_matches_single_bitwise_any_device_count():
+    """The shard_map'd tile grid must return BITWISE the same probabilities
+    as the single-device kernel for the same (key, n_sims, tile), for any
+    device count — global per-tile seeding + padded-tile zeroing. Includes a
+    non-divisible tile count (10 tiles over 8 and 4 devices)."""
+    from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas_sharded
+    from monte_carlo_gp_tpu.parallel.mesh import make_mesh
+
+    params = small_params()
+    key = jax.random.PRNGKey(3)
+    single = np.asarray(
+        run_monte_carlo_pallas(params, key, 1280, 12, sims_per_tile=128,
+                               interpret=not ON_TPU)
+    )
+    for n_dev in (len(jax.devices()), max(1, len(jax.devices()) // 2)):
+        mesh = make_mesh({"sims": n_dev}, devices=jax.devices()[:n_dev])
+        sharded = np.asarray(
+            run_monte_carlo_pallas_sharded(
+                params, key, 1280, 12, sims_per_tile=128, mesh=mesh
+            )
+        )
+        np.testing.assert_array_equal(single, sharded)
+
+
+def test_simulate_plan_uses_sharded_pallas_on_multidevice(tmp_path):
+    """simulate_plan(engine='pallas') on a multi-device host must route
+    through the sharded kernel and produce a valid histogram."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
+    from monte_carlo_gp_tpu.models.predictor import F1Predictor
+
+    p = F1Predictor(cache_dir=tmp_path, backend=SyntheticBackend(seed=5, n_events=2))
+    plan = p.prepare_weekend(2024, "Bahrain")
+    probs = p.simulate_plan(plan, 300, seed=1, engine="pallas")
+    assert p.last_effective_sims == 300  # tile = min(1024, 300) = 300
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+
+
 def test_small_grid_traces():
     """Grids with fewer than 4 drivers must still trace (race-control draws
     use a fixed 8-row block, not per-driver rows)."""

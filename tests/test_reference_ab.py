@@ -1,0 +1,384 @@
+"""A/B validation against the ACTUAL reference implementation.
+
+Every other correctness test in this suite compares the TPU engines against
+builder-written oracles (tests/oracle/*, native/oracle.cpp) — a shared
+misreading of the reference would pass all of them. These tests close that
+loophole by importing the genuine reference code from /root/reference
+(read-only; zero network deps once fastf1 is stubbed) and driving it
+head-to-head:
+
+  * engine: `RaceSimulator.run_monte_carlo` (reference simulation.py:59-100)
+    vs the XLA engine AND the native C++ oracle — distributional agreement
+    (per-driver total variation + mean-finish z) at >=20k reference sims;
+  * Elo: `F1EloSystem` (reference elo.py) replayed on identical event
+    sequences vs models/elo.py — rating equality (f32 accumulation bound);
+  * features: reference `F1FeatureEngine` (features.py) on identical
+    archive frames vs models/features.py in reference_compat mode —
+    field-by-field equality of all 18 features, plus explicit assertions of
+    the three documented default-mode divergences (gap-to-pole stub, dead
+    teammate delta, circuit-affinity name matching).
+
+RNG streams necessarily differ (the reference consumes one global
+random/np.random stream data-dependently — SURVEY.md §7 "hard parts"), so
+engine equality is distributional, not bitwise.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REF.exists(), reason="reference tree unavailable"),
+]
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference package with fastf1 stubbed out."""
+    sys.modules.setdefault("fastf1", types.ModuleType("fastf1"))
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    import src.elo as ref_elo
+    import src.features as ref_features
+    import src.simulation as ref_sim
+
+    return types.SimpleNamespace(sim=ref_sim, elo=ref_elo, features=ref_features)
+
+
+# =============================================================================
+# (a) Engine: reference RaceSimulator vs XLA engine vs native oracle
+# =============================================================================
+
+
+def _drivers(d):
+    return [f"D{i:02d}" for i in range(d)]
+
+
+def _scenario(d, seed=5):
+    """Per-driver params exercising pit thresholds (deg above/at/below the
+    0.05 and 0.02 branch points), per-driver DNF rates and mixed variance.
+
+    Arrays are kept in FLOAT64: the reference must receive the exact decimal
+    values (0.05 must compare `not > 0.05` in its pit logic), while the
+    engine/oracle side casts to f32 where 0.05f likewise compares
+    `not > 0.05f`. Feeding the reference float(np.float32(0.05)) =
+    0.0500000007 would flip its threshold and manufacture a fake divergence
+    (see the f32-threshold note in tests/oracle/reference_sim.py:236-241)."""
+    rng = np.random.default_rng(seed)
+    grid = np.exp(-((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 8.0)
+    grid /= grid.sum(axis=1, keepdims=True)
+    deg_cycle = np.array([0.03, 0.05, 0.08, 0.012, 0.06])
+    return dict(
+        grid_probs=grid,
+        base_pace=90.0 + 0.06 * np.arange(d) + 0.03 * rng.standard_normal(d),
+        tire_deg=deg_cycle[np.arange(d) % len(deg_cycle)],
+        variance=0.1 + 0.01 * (np.arange(d) % 5),
+        dnf_rate=np.linspace(0.0005, 0.002, d),
+        team_dnf_rate=np.full(d, 0.002),
+    )
+
+
+def _ref_config(ref, laps, d, *, pit_loss=21.0, overtake_delta=0.6, sc_p=0.01,
+                vsc_p=0.015, red_p=0.002):
+    from monte_carlo_gp_tpu import config as cfg
+
+    names = _drivers(d)
+    teams = {name: f"T{i // 2}" for i, name in enumerate(names)}
+    return ref.sim.RaceConfig(
+        total_laps=laps,
+        pit_loss=pit_loss,
+        overtake_delta=overtake_delta,
+        sc_probability=sc_p,
+        vsc_probability=vsc_p,
+        red_flag_probability=red_p,
+        dnf_rates={t: 0.002 for t in teams.values()},
+        drs_zones=2,
+        drs_delta=0.3,
+        tire_compounds={k: dict(v) for k, v in cfg.TIRE_COMPOUNDS.items()},
+        driver_teams=teams,
+    )
+
+
+def _run_reference(ref, sc, laps, n_sims, seed, track_condition="dry", **cfg_kw):
+    d = len(sc["base_pace"])
+    names = _drivers(d)
+    simulator = ref.sim.RaceSimulator(_ref_config(ref, laps, d, **cfg_kw))
+    result = simulator.run_monte_carlo(
+        n_sims,
+        grid_probs={n: sc["grid_probs"][i].tolist() for i, n in enumerate(names)},
+        base_pace={n: float(sc["base_pace"][i]) for i, n in enumerate(names)},
+        tire_deg={n: float(sc["tire_deg"][i]) for i, n in enumerate(names)},
+        driver_variance={n: float(sc["variance"][i]) for i, n in enumerate(names)},
+        driver_dnf_rates={n: float(sc["dnf_rate"][i]) for i, n in enumerate(names)},
+        seed=seed,
+        track_condition=track_condition,
+    )
+    probs = np.zeros((d, d))
+    for i, n in enumerate(names):
+        for pos, p in result.get(n, {}).items():
+            probs[i, pos - 1] = p
+    return probs
+
+
+def _compare(ref_probs, probs, n_ref, n_ours, tv_bound, z_bound=4.5):
+    d = ref_probs.shape[0]
+    tv = 0.5 * np.abs(ref_probs - probs).sum(axis=1)
+    assert tv.max() < tv_bound, ("per-driver TV", tv)
+    positions = np.arange(1, d + 1)
+    mean_r, mean_o = ref_probs @ positions, probs @ positions
+    var_r = ref_probs @ positions**2 - mean_r**2
+    var_o = probs @ positions**2 - mean_o**2
+    se = np.sqrt(var_r / n_ref + var_o / n_ours)
+    z = (mean_r - mean_o) / np.maximum(se, 1e-6)
+    assert (np.abs(z) < z_bound).all(), ("mean-finish z", mean_r, mean_o, z)
+
+
+def test_reference_engine_vs_xla_and_native_20drv_57laps(ref):
+    """The headline A/B: full-size race, >=20k genuine reference sims."""
+    import jax
+
+    from monte_carlo_gp_tpu.config import make_sim_params
+    from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+    from monte_carlo_gp_tpu.validate.native_oracle import available, run_native_oracle
+
+    d, laps = 20, 57
+    sc = _scenario(d)
+    n_ref = 20_000
+    ref_probs = _run_reference(ref, sc, laps, n_ref, seed=42)
+
+    params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
+    n_xla = 65_536
+    xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(42), n_xla, laps))
+    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.035)
+
+    if available():
+        n_nat = 262_144
+        native = run_native_oracle(params, seed=42, n_sims=n_nat, total_laps=laps)
+        _compare(ref_probs, native, n_ref, n_nat, tv_bound=0.03)
+
+
+def test_reference_engine_event_heavy(ref):
+    """SC/VSC/red-flag handlers dominate: ~4 events per race."""
+    import jax
+
+    from monte_carlo_gp_tpu.config import make_sim_params
+    from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+    d, laps = 10, 30
+    sc = _scenario(d, seed=9)
+    n_ref = 6_000
+    ref_probs = _run_reference(
+        ref, sc, laps, n_ref, seed=7, sc_p=0.08, vsc_p=0.1, red_p=0.01
+    )
+    params = make_sim_params(
+        pit_loss=21.0, overtake_delta=0.6,
+        sc_prob=0.08, vsc_prob=0.1, red_flag_prob=0.01, **sc,
+    )
+    n_xla = 32_768
+    xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(7), n_xla, laps))
+    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.06)
+
+
+def test_reference_engine_damp(ref):
+    """Intermediate tires, wet pit picks, no two-compound rule."""
+    import jax
+
+    from monte_carlo_gp_tpu.config import make_sim_params
+    from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+    d, laps = 10, 30
+    sc = _scenario(d, seed=13)
+    n_ref = 6_000
+    ref_probs = _run_reference(ref, sc, laps, n_ref, seed=5, track_condition="damp")
+    params = make_sim_params(
+        pit_loss=21.0, overtake_delta=0.6, track_condition="damp", **sc
+    )
+    n_xla = 32_768
+    xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(5), n_xla, laps))
+    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.06)
+
+
+# =============================================================================
+# (b) Elo: reference F1EloSystem vs models/elo.py on identical sequences
+# =============================================================================
+
+
+def _random_events(seed, n_events=60):
+    """Chronological mixed event stream with subsets, ties and recency
+    changes — the exact same sequence is fed to both systems."""
+    rng = np.random.default_rng(seed)
+    names = _drivers(20)
+    events = []
+    for i in range(n_events):
+        k = int(rng.integers(2, 21))
+        field = list(rng.choice(names, size=k, replace=False))
+        if rng.random() < 0.5:  # quali: lap times, occasional exact ties
+            vals = np.round(rng.uniform(88.0, 95.0, k), 2)
+            if k > 3 and rng.random() < 0.3:
+                vals[1] = vals[0]  # tie
+            events.append(("quali", list(zip(field, vals.tolist())), i))
+        else:  # race: positions (ties impossible in real data, add one anyway)
+            pos = list(rng.permutation(np.arange(1, k + 1)))
+            events.append(("race", list(zip(field, [int(p) for p in pos])), i))
+    return events
+
+
+def test_reference_elo_exact_replay(ref):
+    from monte_carlo_gp_tpu.models.elo import F1EloSystem
+
+    ref_sys = ref.elo.F1EloSystem()
+    ours = F1EloSystem()
+    events = _random_events(3)
+    total = len(events)
+    for kind, results, idx in events:
+        years_ago = [0, 0, 1, 2, 3][idx % 5]
+        ref_sys.set_recency_weight(years_ago, race_index=idx, total_races=total)
+        ours.set_recency_weight(years_ago, race_index=idx, total_races=total)
+        if kind == "quali":
+            ref_sys.update_quali_ratings(results)
+            ours.update_quali_ratings(results)
+        else:
+            ref_sys.update_race_ratings(results)
+            ours.update_race_ratings(results)
+
+    ours.flush()
+    for name in _drivers(20):
+        for disc in ("quali", "race"):
+            r_ref = ref_sys.get_rating(name, disc)
+            r_ours = ours.get_rating(name, disc)
+            # ours accumulates in float32 (TPU dtype); 60 events of K<=48
+            # deltas bound the rounding drift far below any formula error.
+            assert abs(r_ref - r_ours) < 0.05, (name, disc, r_ref, r_ours)
+
+    # softmax pole probabilities must agree too (elo.py:124-141)
+    p_ref = ref_sys.predict_quali_probs(_drivers(20))
+    p_ours = ours.predict_quali_probs(_drivers(20))
+    for name in _drivers(20):
+        assert p_ref[name] == pytest.approx(p_ours[name], rel=1e-3, abs=1e-6)
+
+
+def test_reference_elo_single_event_tight(ref):
+    """One event, fresh ratings: agreement limited only by f32 rounding."""
+    from monte_carlo_gp_tpu.models.elo import F1EloSystem
+
+    ref_sys = ref.elo.F1EloSystem()
+    ours = F1EloSystem()
+    results = [("A", 90.0), ("B", 90.0), ("C", 91.5), ("D", 89.2)]  # tie A=B
+    ref_sys.update_quali_ratings(results)
+    ours.update_quali_ratings(results)
+    for name in "ABCD":
+        assert ours.get_rating(name, "quali") == pytest.approx(
+            ref_sys.get_rating(name, "quali"), abs=1e-3
+        )
+
+
+def test_reference_elo_ordered_list_raises_like_backtest(ref):
+    """The reference defect our backtest fixes: ordered abbreviation lists
+    raise inside the reference's tuple unpacking (validation.py:191-199 ⚠).
+    Pin that behavior so the compat flag's premise stays true."""
+    ref_sys = ref.elo.F1EloSystem()
+    with pytest.raises((ValueError, TypeError)):
+        ref_sys.update_quali_ratings(["VER", "NOR", "LEC"])
+
+
+# =============================================================================
+# (c) Features: reference F1FeatureEngine vs models/features.py
+# =============================================================================
+
+
+@pytest.fixture(scope="module")
+def archives(tmp_path_factory):
+    """One shared synthetic archive (2 seasons, includes wet events), loaded
+    through OUR loader, then injected verbatim into both feature engines."""
+    from monte_carlo_gp_tpu.data.loader import F1DataLoader
+    from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
+    from monte_carlo_gp_tpu.models.features import F1FeatureEngine
+
+    loader = F1DataLoader(
+        cache_dir=tmp_path_factory.mktemp("ab_cache"),
+        backend=SyntheticBackend(seed=5, n_events=12),  # includes Belgium (wet)
+    )
+    ours = F1FeatureEngine(loader, reference_compat=True)
+    ours.load_historical_data([2023, 2024])
+    return ours
+
+
+def test_reference_features_field_by_field(ref, archives):
+    """All 18 features, every driver, dry and wet weather, multiple
+    circuits: the reference engine on the same frames must agree exactly
+    (rel 1e-9) with our reference_compat mode."""
+    ours = archives
+    ref_engine = ref.features.F1FeatureEngine(data_loader=None)
+    ref_engine.laps = ours.laps.copy()
+    ref_engine.race_results = ours.race_results.copy()
+
+    from monte_carlo_gp_tpu import config as cfg
+
+    drivers = list(cfg.DRIVER_TEAMS.keys())
+    weathers = [
+        {"rainfall": False, "track_temp": 38.0},
+        {"rainfall": True, "track_temp": 22.0},
+    ]
+    mismatches = []
+    for driver in drivers:
+        for circuit in ("Bahrain", "Monaco", "Belgium"):
+            q_ref = ref_engine.calculate_quali_features(driver, circuit)
+            q_ours = ours.calculate_quali_features(driver, circuit)
+            assert set(q_ref) == set(q_ours)
+            for k in q_ref:
+                if q_ours[k] != pytest.approx(q_ref[k], rel=1e-9, abs=1e-12):
+                    mismatches.append((driver, circuit, k, q_ref[k], q_ours[k]))
+        for weather in weathers:
+            r_ref = ref_engine.calculate_race_features(driver, "Bahrain", weather)
+            r_ours = ours.calculate_race_features(driver, "Bahrain", weather)
+            assert set(r_ref) == set(r_ours)
+            for k in r_ref:
+                if r_ours[k] != pytest.approx(r_ref[k], rel=1e-9, abs=1e-12):
+                    mismatches.append((driver, weather["rainfall"], k, r_ref[k], r_ours[k]))
+    assert not mismatches, mismatches[:10]
+
+
+def test_default_mode_divergences_are_exactly_the_documented_ones(ref, archives):
+    """In default (non-compat) mode exactly three quali features may diverge
+    from the reference — the documented deliberate fixes — and all race
+    features must still match."""
+    from monte_carlo_gp_tpu.models.features import F1FeatureEngine
+
+    compat = archives
+    default = F1FeatureEngine(compat.loader)
+    default.laps = compat.laps
+    default.race_results = compat.race_results
+
+    ref_engine = ref.features.F1FeatureEngine(data_loader=None)
+    ref_engine.laps = compat.laps.copy()
+    ref_engine.race_results = compat.race_results.copy()
+
+    fixed_keys = {"avg_gap_to_pole_pct", "teammate_delta", "circuit_affinity"}
+    saw_divergence = set()
+    from monte_carlo_gp_tpu import config as cfg
+
+    for driver in list(cfg.DRIVER_TEAMS.keys())[:8]:
+        q_ref = ref_engine.calculate_quali_features(driver, "Bahrain")
+        q_def = default.calculate_quali_features(driver, "Bahrain")
+        for k in q_ref:
+            if q_def[k] != pytest.approx(q_ref[k], rel=1e-9, abs=1e-12):
+                assert k in fixed_keys, (driver, k, q_ref[k], q_def[k])
+                saw_divergence.add(k)
+        r_ref = ref_engine.calculate_race_features(
+            driver, "Bahrain", {"rainfall": False, "track_temp": 38.0}
+        )
+        r_def = default.calculate_race_features(
+            driver, "Bahrain", {"rainfall": False, "track_temp": 38.0}
+        )
+        for k in r_ref:
+            assert r_def[k] == pytest.approx(r_ref[k], rel=1e-9, abs=1e-12), (driver, k)
+    # the fixes actually change values on this archive
+    assert saw_divergence == fixed_keys, saw_divergence
