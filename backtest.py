@@ -55,10 +55,13 @@ def main():
     args = parser.parse_args()
 
     from monte_carlo_gp_tpu.models.predictor import F1Predictor
+    from monte_carlo_gp_tpu.utils.jax_setup import enable_persistent_compilation_cache
     from monte_carlo_gp_tpu.validate.backtest import (
         backtest_model,
         backtest_model_batched,
     )
+
+    enable_persistent_compilation_cache(args.cache_dir)
 
     def predictor_factory():
         backend = None

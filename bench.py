@@ -104,16 +104,39 @@ def main() -> None:
         f"best {best:.3f}s -> {sims_per_sec/1e6:.3f}M sims/s/chip "
         f"(runs: {[f'{t:.3f}' for t in times]})"
     )
-    print(
-        json.dumps(
-            {
-                "metric": "race_sims_per_sec_per_chip_20drv_57laps",
-                "value": round(sims_per_sec, 1),
-                "unit": "sims/s",
-                "vs_baseline": round(sims_per_sec / REFERENCE_SIMS_PER_SEC, 1),
-            }
-        )
-    )
+
+    # Secondary metric: the XLA lap-scan engine (the portable path) is
+    # regression-tracked alongside the flagship kernel (VERDICT r1 #9).
+    xla_sims_per_sec = None
+    if on_tpu:
+        from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+        n_xla = N_SIMS // 4
+
+        def run_xla(k):
+            return run_monte_carlo(
+                params, k, n_xla, TOTAL_LAPS,
+                sims_per_block=min(SIMS_PER_BLOCK, n_xla),
+            )
+
+        np.asarray(run_xla(key))  # compile
+        xla_times = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            np.asarray(run_xla(jax.random.fold_in(key, 10 + i)))
+            xla_times.append(time.perf_counter() - t0)
+        xla_sims_per_sec = round(n_xla / min(xla_times), 1)
+        log(f"xla engine: {xla_sims_per_sec/1e6:.3f}M sims/s/chip")
+
+    record = {
+        "metric": "race_sims_per_sec_per_chip_20drv_57laps",
+        "value": round(sims_per_sec, 1),
+        "unit": "sims/s",
+        "vs_baseline": round(sims_per_sec / REFERENCE_SIMS_PER_SEC, 1),
+    }
+    if xla_sims_per_sec is not None:
+        record["xla_sims_per_sec"] = xla_sims_per_sec
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

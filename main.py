@@ -14,7 +14,9 @@ import argparse
 
 def build_predictor(args):
     from monte_carlo_gp_tpu.models.predictor import F1Predictor
+    from monte_carlo_gp_tpu.utils.jax_setup import enable_persistent_compilation_cache
 
+    enable_persistent_compilation_cache(args.cache_dir)
     backend = None
     if args.synthetic:
         from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend

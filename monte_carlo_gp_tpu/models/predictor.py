@@ -24,6 +24,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -63,6 +64,16 @@ CONFIDENCE_LEVELS = {
 DEFAULT_PACE = 90.0
 DEFAULT_DEG = 0.05
 ELO_SEASON_FLOOR = 2017  # seasons must be > this (predictor.py:275)
+LAP_BUCKET = 16  # compile buckets for variable lap counts (44..78 laps)
+
+
+def _lap_bucket(total_laps: int) -> int:
+    """Round a circuit's lap count up to the compile bucket. One compiled
+    program (engine scan / pallas kernel at the bucket length, trailing laps
+    masked via the traced `race_laps` scalar) serves every circuit in the
+    bucket — a season backtest compiles ~4 programs instead of ~15, each
+    cold TPU compile costing tens of seconds."""
+    return max(LAP_BUCKET, -(-int(total_laps) // LAP_BUCKET) * LAP_BUCKET)
 
 
 def resolve_engine(engine: str) -> str:
@@ -357,25 +368,35 @@ class F1Predictor:
                     tile=tile,
                 )
             self.last_effective_sims = n_eff
+            bucket = _lap_bucket(plan.total_laps)
+            race_laps = (
+                None if bucket == plan.total_laps
+                else jnp.int32(plan.total_laps)
+            )
             if len(jax.devices()) > 1:
                 # Multi-chip: shard the tile grid; bitwise identical to the
                 # single-chip kernel for the same (key, n_eff, tile).
                 return np.asarray(
                     run_monte_carlo_pallas_sharded(
-                        plan.params, key, n_eff, plan.total_laps,
-                        sims_per_tile=tile,
+                        plan.params, key, n_eff, bucket,
+                        sims_per_tile=tile, race_laps=race_laps,
                     )
                 )
             return np.asarray(
                 run_monte_carlo_pallas(
-                    plan.params, key, n_eff, plan.total_laps, sims_per_tile=tile
+                    plan.params, key, n_eff, bucket, sims_per_tile=tile,
+                    race_laps=race_laps,
                 )
             )
         self.last_effective_sims = int(n_simulations)
+        bucket = _lap_bucket(plan.total_laps)
+        race_laps = (
+            None if bucket == plan.total_laps else jnp.int32(plan.total_laps)
+        )
         return np.asarray(
             run_monte_carlo(
-                plan.params, key, int(n_simulations), plan.total_laps,
-                sims_per_block=self._sims_per_block,
+                plan.params, key, int(n_simulations), bucket,
+                sims_per_block=self._sims_per_block, race_laps=race_laps,
             )
         )
 

@@ -113,6 +113,7 @@ def run_monte_carlo(
     n_sims: int,
     total_laps: int,
     sims_per_block: int | None = None,
+    race_laps: jax.Array | None = None,
 ) -> jax.Array:
     """Run `n_sims` simulations, return (D, D) float32 probabilities:
     probs[driver, p] = P(driver finishes in position p+1).
@@ -120,10 +121,15 @@ def run_monte_carlo(
     This is the whole-subtree replacement for the reference hot loop
     (SURVEY.md §3.1). `sims_per_block` bounds peak memory: blocks run
     sequentially via `lax.map`, each fully batched and sharded.
+
+    `race_laps` (traced int32 scalar <= total_laps) lets ONE compile at a
+    padded `total_laps` bucket serve every circuit: laps beyond `race_laps`
+    are masked no-ops. The predictor buckets lap counts to multiples of 16
+    so a season backtest compiles ~5 programs instead of ~15.
     """
     d = params.n_drivers
     if sims_per_block is None or sims_per_block >= n_sims:
-        positions = simulate_races(params, key, n_sims, total_laps)
+        positions = simulate_races(params, key, n_sims, total_laps, race_laps)
         counts = _histogram(positions, d)
         return counts.astype(jnp.float32) / n_sims
 
@@ -135,7 +141,7 @@ def run_monte_carlo(
 
     def block(block_idx):
         bkey = jax.random.fold_in(key, block_idx)
-        positions = simulate_races(params, bkey, sims_per_block, total_laps)
+        positions = simulate_races(params, bkey, sims_per_block, total_laps, race_laps)
         return _histogram(positions, d)
 
     counts = jax.lax.map(block, jnp.arange(n_blocks, dtype=jnp.int32))

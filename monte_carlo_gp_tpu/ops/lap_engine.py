@@ -22,7 +22,13 @@ or distribution-preserving; see tests/test_engine_stats.py):
     so equality with the NumPy reference is distributional, not bitwise,
   * the reference's `set.pop()` on a 2-element compound set (simulation.py
     :481-485) is replaced by a deterministic choice (HARD for long stints,
-    MEDIUM otherwise).
+    MEDIUM otherwise). NOT measure-zero: the popped element depends on
+    CPython's per-process hash randomization, so at a fixed RNG seed the
+    reference's distributions vary across processes (finish-TV up to 0.62
+    between hash seeds at 20 drivers x 57 laps). Our fixed choice is one
+    valid refinement, equal to the reference under hash seeds where pop()
+    yields HARD/MEDIUM — see PARITY.md divergence #1 and
+    tests/test_reference_ab.py.
 """
 
 from __future__ import annotations

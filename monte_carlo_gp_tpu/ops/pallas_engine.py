@@ -49,15 +49,16 @@ NAN = float("nan")
     _CPACE0, _CPACE1, _CPACE2, _CPACE3, _CPACE4,
     _CDEG0, _CDEG1, _CDEG2, _CDEG3, _CDEG4,
     _COPT0, _COPT1, _COPT2, _COPT3, _COPT4,
+    _RACE_LAPS,  # traced actual lap count (<= the static compile bucket)
     _N_SCALARS,
-) = range(25)
+) = range(26)
 
 # per-driver parameter matrix columns (VMEM, (D, 8))
 _BASE, _DEG, _VAR, _DNF, _TEAMDNF, _ACTIVE = range(6)
 _N_PCOLS = 8  # padded to a lane-friendly width
 
 
-def _pack_inputs(params: SimParams):
+def _pack_inputs(params: SimParams, race_laps: jax.Array):
     d = params.n_drivers
     pmat = jnp.zeros((d, _N_PCOLS), jnp.float32)
     pmat = pmat.at[:, _BASE].set(params.base_pace)
@@ -79,6 +80,7 @@ def _pack_inputs(params: SimParams):
             params.compound_pace,
             params.compound_deg,
             params.compound_optimal.astype(jnp.float32),
+            jnp.asarray(race_laps, jnp.float32)[None],
         ]
     )
     safe = jnp.maximum(params.grid_probs, 0.0)
@@ -243,9 +245,12 @@ def _race_kernel(total_laps: int, d: int, s: int):
         urank = rank_of(key1)
 
         # ---- laps 2..L -------------------------------------------------------
+        race_laps = scal[_RACE_LAPS]  # traced actual laps <= static bucket
+
         def lap_body(lap_i, state):
             # Carry is all-f32: Mosaic cannot legalize scf.for with mixed
             # bool/int vector carries. Decode to typed values on entry.
+            prev_state = state
             (cum, last_lap, behind, age, compound_f, used_s_f, used_m_f,
              used_h_f, fuel, dnf_f, dnf_lap, drs_f, laps_done,
              drs_until, urank_f) = state
@@ -293,7 +298,7 @@ def _race_kernel(total_laps: int, d: int, s: int):
             age = jnp.where(
                 m_red, 0.0, jnp.where(refund, jnp.maximum(0.0, age - 1.0), age)
             )
-            remaining = jnp.float32(total_laps) - lap
+            remaining = race_laps - lap
             red_compound = condition_compound(track_cond, remaining)
             compound = jnp.where(m_red, red_compound, compound)
             used_s = used_s | (m_red & (red_compound == cfg.SOFT))
@@ -403,10 +408,17 @@ def _race_kernel(total_laps: int, d: int, s: int):
                 & ~dnf
             )
             f32 = lambda b: b.astype(jnp.float32)
-            return (cum, last_lap, behind, age, compound.astype(jnp.float32),
-                    f32(used_s), f32(used_m), f32(used_h), fuel, f32(dnf),
-                    dnf_lap, f32(drs), laps_done, drs_until,
-                    urank.astype(jnp.float32))
+            new_state = (cum, last_lap, behind, age, compound.astype(jnp.float32),
+                         f32(used_s), f32(used_m), f32(used_h), fuel, f32(dnf),
+                         dnf_lap, f32(drs), laps_done, drs_until,
+                         urank.astype(jnp.float32))
+            # Laps beyond the race's actual length (compile bucket padding)
+            # are no-ops: freeze the whole carry. PRNG draws still advance,
+            # so results are a function of (key, n_sims, tile, BUCKET).
+            live = lap <= race_laps
+            return tuple(
+                jnp.where(live, n, p) for n, p in zip(new_state, prev_state)
+            )
 
         f32 = lambda b: b.astype(jnp.float32)
         state = (cum, last_lap, behind, age, compound.astype(jnp.float32),
@@ -502,11 +514,17 @@ def run_monte_carlo_pallas(
     total_laps: int,
     sims_per_tile: int = DEFAULT_SIMS_PER_TILE,
     interpret: bool = False,
+    race_laps: jax.Array | None = None,
 ) -> jax.Array:
     """Pallas backend for `run_monte_carlo`: (D, D) finish probabilities.
 
-    Bitwise deterministic for fixed (key, n_sims, sims_per_tile); matches the
-    XLA engine distributionally (tests/test_pallas_engine.py).
+    Bitwise deterministic for fixed (key, n_sims, sims_per_tile, total_laps);
+    matches the XLA engine distributionally (tests/test_pallas_engine.py).
+
+    `race_laps` (traced scalar <= total_laps) masks trailing laps so one
+    compile at a padded `total_laps` bucket serves many circuits — kernel
+    state freezes on dead laps (PRNG still advances, so the distribution is
+    keyed to the bucket, not the race length).
     """
     if n_sims % sims_per_tile != 0:
         raise ValueError(
@@ -514,7 +532,9 @@ def run_monte_carlo_pallas(
         )
     d = params.n_drivers
     n_tiles = n_sims // sims_per_tile
-    pmat, scal, grid_log = _pack_inputs(params)
+    pmat, scal, grid_log = _pack_inputs(
+        params, total_laps if race_laps is None else race_laps
+    )
     seeds = _tile_seeds(key, n_tiles, n_tiles)
     kernel = _race_kernel(total_laps, d, sims_per_tile)
     counts = _pallas_counts(
@@ -538,6 +558,7 @@ def _sharded_pallas_probs(
     mesh,
     sims_axis: str,
     interpret: bool,
+    race_laps: jax.Array | None = None,
 ) -> jax.Array:
     from jax.sharding import PartitionSpec as P
 
@@ -548,7 +569,9 @@ def _sharded_pallas_probs(
     # (validity word), so the summed histogram — and therefore the returned
     # probabilities — are bitwise identical for ANY device count.
     n_tiles_padded = -(-n_tiles // n_dev) * n_dev
-    pmat, scal, grid_log = _pack_inputs(params)
+    pmat, scal, grid_log = _pack_inputs(
+        params, total_laps if race_laps is None else race_laps
+    )
     seeds = _tile_seeds(key, n_tiles_padded, n_tiles)
     kernel = _race_kernel(total_laps, d, sims_per_tile)
     local_tiles = n_tiles_padded // n_dev
@@ -580,6 +603,7 @@ def run_monte_carlo_pallas_sharded(
     sims_per_tile: int = DEFAULT_SIMS_PER_TILE,
     sims_axis: str = "sims",
     interpret: bool | None = None,
+    race_laps: jax.Array | None = None,
 ) -> jax.Array:
     """Multi-chip fused kernel: the tile grid is sharded over the mesh's
     `sims_axis` via shard_map (one per-chip `pallas_call` each), with a
@@ -605,5 +629,6 @@ def run_monte_carlo_pallas_sharded(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     return _sharded_pallas_probs(
-        params, key, n_sims, total_laps, sims_per_tile, mesh, sims_axis, interpret
+        params, key, n_sims, total_laps, sims_per_tile, mesh, sims_axis,
+        interpret, race_laps,
     )

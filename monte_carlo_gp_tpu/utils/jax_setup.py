@@ -1,0 +1,30 @@
+"""Process-level JAX configuration used by the CLIs.
+
+The reference is pure NumPy and pays no compile costs; here every distinct
+(engine, lap bucket, sim count) is an XLA program whose cold TPU compile
+costs tens of seconds over the remote-compile tunnel. The persistent
+compilation cache makes those one-time costs per machine instead of per
+process, which is most of a cold season-backtest's wall clock.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+
+def enable_persistent_compilation_cache(cache_dir: str | Path) -> None:
+    """Point JAX's persistent compilation cache at <cache_dir>/jax_compilation.
+
+    Safe to call multiple times; silently ignores unsupported jax versions.
+    """
+    import jax
+
+    path = Path(cache_dir) / "jax_compilation"
+    path.mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        # Cache everything that took meaningful compile time.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except (AttributeError, ValueError):  # older/newer jax without these flags
+        pass

@@ -3,19 +3,26 @@
 Forces JAX onto a virtual 8-device CPU platform BEFORE jax initializes, so
 every multi-chip sharding path is exercised without TPU hardware
 (SURVEY.md §4). Must run before any jax import in the test session.
+
+Set MCGP_TEST_TPU=1 to keep the real TPU backend instead — this enables the
+hardware-only stochastic Pallas tests (interpreter-mode PRNG returns zeros,
+so they skip on CPU):  MCGP_TEST_TPU=1 pytest tests/ -m slow -k tpu
 """
 
 import os
 
-# The sandbox's sitecustomize force-registers the TPU backend in every
-# interpreter regardless of JAX_PLATFORMS, so the env var alone is not
-# enough — override the platform through jax.config after import.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_USE_TPU = os.environ.get("MCGP_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    # The sandbox's sitecustomize force-registers the TPU backend in every
+    # interpreter regardless of JAX_PLATFORMS, so the env var alone is not
+    # enough — override the platform through jax.config after import.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import sys
 from pathlib import Path
@@ -24,7 +31,8 @@ sys.path.insert(0, str(Path(__file__).parent))  # for tests.oracle imports
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -86,46 +86,82 @@ def _scenario(d, seed=5):
     )
 
 
-def _ref_config(ref, laps, d, *, pit_loss=21.0, overtake_delta=0.6, sc_p=0.01,
-                vsc_p=0.015, red_p=0.002):
+# The reference's two-compound fallback compound comes from `set.pop()`
+# (simulation.py:482-488) — a HASH-RANDOMIZED choice: SOFT vs HARD is a
+# 1.4 s/lap swing for the rest of the stint, so at a fixed RNG seed the
+# reference produces materially different distributions depending on
+# PYTHONHASHSEED (test_reference_compound_fallback_is_hash_dependent pins
+# this). Our engines fix the choice to HARD (MEDIUM->MEDIUM, remaining>20)
+# and MEDIUM (SOFT->SOFT, remaining<=15) — one valid refinement — so the
+# A/B runs the reference in a subprocess with a probed matching hash seed.
+
+_POP_PROBE = (
+    "d={'SOFT','MEDIUM','HARD'};"
+    "print((d-{'MEDIUM'}).pop(),(d-{'SOFT'}).pop())"
+)
+
+
+def _pop_choices(hashseed: str) -> str:
+    import os
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, "-c", _POP_PROBE],
+        env={**os.environ, "PYTHONHASHSEED": hashseed},
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return r.stdout.strip()
+
+
+@pytest.fixture(scope="module")
+def matching_hashseed():
+    """A PYTHONHASHSEED under which the reference's set.pop() reproduces the
+    engines' fixed compound refinement (HARD, MEDIUM)."""
+    for seed in range(32):
+        if _pop_choices(str(seed)) == "HARD MEDIUM":
+            return str(seed)
+    pytest.skip("no PYTHONHASHSEED in [0,32) reproduces the HARD/MEDIUM refinement")
+
+
+def _run_reference(
+    sc, laps, n_sims, seed, hashseed, tmpdir, track_condition="dry",
+    pit_loss=21.0, overtake_delta=0.6, sc_p=0.01, vsc_p=0.015, red_p=0.002,
+):
+    """Drive the genuine reference engine in a hash-pinned subprocess."""
+    import json
+    import os
+    import subprocess
+
     from monte_carlo_gp_tpu import config as cfg
 
-    names = _drivers(d)
-    teams = {name: f"T{i // 2}" for i, name in enumerate(names)}
-    return ref.sim.RaceConfig(
-        total_laps=laps,
-        pit_loss=pit_loss,
-        overtake_delta=overtake_delta,
-        sc_probability=sc_p,
-        vsc_probability=vsc_p,
-        red_flag_probability=red_p,
-        dnf_rates={t: 0.002 for t in teams.values()},
-        drs_zones=2,
-        drs_delta=0.3,
-        tire_compounds={k: dict(v) for k, v in cfg.TIRE_COMPOUNDS.items()},
-        driver_teams=teams,
-    )
-
-
-def _run_reference(ref, sc, laps, n_sims, seed, track_condition="dry", **cfg_kw):
     d = len(sc["base_pace"])
-    names = _drivers(d)
-    simulator = ref.sim.RaceSimulator(_ref_config(ref, laps, d, **cfg_kw))
-    result = simulator.run_monte_carlo(
-        n_sims,
-        grid_probs={n: sc["grid_probs"][i].tolist() for i, n in enumerate(names)},
-        base_pace={n: float(sc["base_pace"][i]) for i, n in enumerate(names)},
-        tire_deg={n: float(sc["tire_deg"][i]) for i, n in enumerate(names)},
-        driver_variance={n: float(sc["variance"][i]) for i, n in enumerate(names)},
-        driver_dnf_rates={n: float(sc["dnf_rate"][i]) for i, n in enumerate(names)},
-        seed=seed,
-        track_condition=track_condition,
+    in_path = Path(tmpdir) / "ref_in.npz"
+    out_path = Path(tmpdir) / "ref_out.npy"
+    meta = dict(
+        d=d, laps=laps, n_sims=n_sims, seed=seed,
+        track_condition=track_condition, pit_loss=pit_loss,
+        overtake_delta=overtake_delta, sc_p=sc_p, vsc_p=vsc_p, red_p=red_p,
+        tire_compounds={k: dict(v) for k, v in cfg.TIRE_COMPOUNDS.items()},
     )
-    probs = np.zeros((d, d))
-    for i, n in enumerate(names):
-        for pos, p in result.get(n, {}).items():
-            probs[i, pos - 1] = p
-    return probs
+    np.savez(
+        in_path,
+        meta_json=json.dumps(meta),
+        grid_probs=np.asarray(sc["grid_probs"], np.float64),
+        base_pace=np.asarray(sc["base_pace"], np.float64),
+        tire_deg=np.asarray(sc["tire_deg"], np.float64),
+        variance=np.asarray(sc["variance"], np.float64),
+        dnf_rate=np.asarray(sc["dnf_rate"], np.float64),
+    )
+    runner = Path(__file__).parent / "ref_engine_runner.py"
+    subprocess.run(
+        [sys.executable, str(runner), str(in_path), str(out_path)],
+        env={**os.environ, "PYTHONHASHSEED": hashseed},
+        check=True,
+        capture_output=True,
+    )
+    return np.load(out_path)
 
 
 def _compare(ref_probs, probs, n_ref, n_ours, tv_bound, z_bound=4.5):
@@ -141,7 +177,23 @@ def _compare(ref_probs, probs, n_ref, n_ours, tv_bound, z_bound=4.5):
     assert (np.abs(z) < z_bound).all(), ("mean-finish z", mean_r, mean_o, z)
 
 
-def test_reference_engine_vs_xla_and_native_20drv_57laps(ref):
+def test_reference_compound_fallback_is_hash_dependent():
+    """Pin the A/B premise: the reference's two-compound fallback compound
+    (set.pop, simulation.py:482-488) varies with PYTHONHASHSEED, and the
+    engines' fixed HARD/MEDIUM choice is reachable. If CPython's hashing
+    ever changes such that only one outcome exists, the subprocess pinning
+    can be retired."""
+    seen = {_pop_choices(str(s)) for s in range(16)}
+    assert "HARD MEDIUM" in {c for c in seen}, seen
+    first_words = {c.split()[0] for c in seen}
+    assert first_words == {"HARD", "SOFT"}, (
+        "expected the MEDIUM->MEDIUM fallback to be hash-dependent", seen
+    )
+
+
+def test_reference_engine_vs_xla_and_native_20drv_57laps(
+    ref, matching_hashseed, tmp_path
+):
     """The headline A/B: full-size race, >=20k genuine reference sims."""
     import jax
 
@@ -152,20 +204,21 @@ def test_reference_engine_vs_xla_and_native_20drv_57laps(ref):
     d, laps = 20, 57
     sc = _scenario(d)
     n_ref = 20_000
-    ref_probs = _run_reference(ref, sc, laps, n_ref, seed=42)
+    ref_probs = _run_reference(sc, laps, n_ref, 42, matching_hashseed, tmp_path)
 
     params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
-    n_xla = 65_536
+    n_xla = 32_768  # CI machine is single-core; ref-side (20k) noise dominates
     xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(42), n_xla, laps))
-    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.035)
+    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.03)
 
     if available():
+        # measured agreement at these sizes: max TV ~0.014 (MC noise)
         n_nat = 262_144
         native = run_native_oracle(params, seed=42, n_sims=n_nat, total_laps=laps)
-        _compare(ref_probs, native, n_ref, n_nat, tv_bound=0.03)
+        _compare(ref_probs, native, n_ref, n_nat, tv_bound=0.025)
 
 
-def test_reference_engine_event_heavy(ref):
+def test_reference_engine_event_heavy(ref, matching_hashseed, tmp_path):
     """SC/VSC/red-flag handlers dominate: ~4 events per race."""
     import jax
 
@@ -176,7 +229,8 @@ def test_reference_engine_event_heavy(ref):
     sc = _scenario(d, seed=9)
     n_ref = 6_000
     ref_probs = _run_reference(
-        ref, sc, laps, n_ref, seed=7, sc_p=0.08, vsc_p=0.1, red_p=0.01
+        sc, laps, n_ref, 7, matching_hashseed, tmp_path,
+        sc_p=0.08, vsc_p=0.1, red_p=0.01,
     )
     params = make_sim_params(
         pit_loss=21.0, overtake_delta=0.6,
@@ -187,7 +241,7 @@ def test_reference_engine_event_heavy(ref):
     _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.06)
 
 
-def test_reference_engine_damp(ref):
+def test_reference_engine_damp(ref, matching_hashseed, tmp_path):
     """Intermediate tires, wet pit picks, no two-compound rule."""
     import jax
 
@@ -197,7 +251,9 @@ def test_reference_engine_damp(ref):
     d, laps = 10, 30
     sc = _scenario(d, seed=13)
     n_ref = 6_000
-    ref_probs = _run_reference(ref, sc, laps, n_ref, seed=5, track_condition="damp")
+    ref_probs = _run_reference(
+        sc, laps, n_ref, 5, matching_hashseed, tmp_path, track_condition="damp"
+    )
     params = make_sim_params(
         pit_loss=21.0, overtake_delta=0.6, track_condition="damp", **sc
     )

@@ -156,6 +156,75 @@ def test_batched_backtest_matches_sequential_scores(tmp_path):
 
 
 @pytest.mark.slow
+def test_synthetic_ground_truth_accuracy_gate(tmp_path):
+    """End-to-end 'does the pipeline actually predict' gate (SURVEY §4):
+    backtest a synthetic season where the right answer (latent driver skill)
+    is known and assert the model recovers it.
+
+    Notes on the Brier bounds: the reference's quali model shapes position
+    probabilities with a sigma = n/4 gaussian (predictor.py:358-374 — parity
+    semantics), which caps the favorite's pole probability at ~0.11, so even
+    PERFECT ranking yields pole Brier ~0.043 vs the 0.0475 random baseline.
+    Likewise the synthetic world's race outcomes are ~50% luck
+    (synthetic.py:_race_order noise 0.6 vs skill spread ~0.6) while the
+    engine's pace-dominated world is far more deterministic, so win Brier
+    reflects that calibration gap. The gates therefore assert (1) strong
+    skill-rank recovery, (2) favorite hit-rates far above chance, and
+    (3) Brier regression bounds."""
+    import numpy as np
+    from scipy import stats
+
+    n_events = 8
+    backend = SyntheticBackend(seed=5, n_events=n_events)
+    predictor = F1Predictor(cache_dir=tmp_path, backend=backend)
+    loader = predictor.data_loader
+    from monte_carlo_gp_tpu.validate.backtest import _pin, _race_cutoffs
+
+    races = get_races(loader, 2024)
+    cutoffs = _race_cutoffs(loader, 2024)
+    preds, acts = [], []
+    for idx, race in enumerate(races):
+        _pin(loader, cutoffs, idx, True)
+        preds.append(
+            predictor.predict_weekend(2024, race, n_simulations=1024, seed=idx)
+        )
+        act = get_actual_results(loader, 2024, race)
+        acts.append(act)
+        predictor.elo_system.update_quali_ratings(act["quali_results"])
+        predictor.elo_system.update_race_ratings(act["race_results"])
+
+    drivers = backend.drivers
+    skill = backend._skill(2024)  # lower = faster
+
+    # (1) mean predicted win probability recovers the latent skill ranking
+    mean_win = np.array(
+        [np.mean([p["win_probabilities"].get(d, 0.0) for p in preds]) for d in drivers]
+    )
+    rho = stats.spearmanr(mean_win, -skill).statistic
+    assert rho > 0.7, (rho, dict(zip(drivers, mean_win)))
+
+    # (2) favorites hit far above chance
+    pole_hits = win_top3 = 0
+    for p, a in zip(preds, acts):
+        pole_fav = max(p["pole_probabilities"], key=p["pole_probabilities"].get)
+        win_fav = max(p["win_probabilities"], key=p["win_probabilities"].get)
+        pole_hits += pole_fav in a["quali_results"][:3]  # chance 15%
+        win_top3 += win_fav in a["race_results"][:3]  # chance 15%
+    assert pole_hits / n_events >= 0.5, (pole_hits, n_events)
+    assert win_top3 / n_events >= 0.375, (win_top3, n_events)
+
+    # (3) Brier regression bounds (see docstring for why not < 0.0475)
+    pole_brier = brier_score(
+        [p["pole_probabilities"] for p in preds], [a["pole"] for a in acts]
+    )
+    win_brier = brier_score(
+        [p["win_probabilities"] for p in preds], [a["winner"] for a in acts]
+    )
+    assert pole_brier < 0.055, pole_brier
+    assert win_brier < 0.09, win_brier
+
+
+@pytest.mark.slow
 def test_partial_checkpoint_resume_matches_uninterrupted(tmp_path):
     """Resuming from a PARTIAL checkpoint must reproduce the uninterrupted
     run exactly: the historical Elo build has to land before the replayed
