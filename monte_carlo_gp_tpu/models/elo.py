@@ -184,6 +184,12 @@ class F1EloSystem:
         return drivers, values
 
     def _queue(self, results, discipline: int) -> None:
+        """Buffer one event. Duplicate-driver rows collapse to the LAST
+        occurrence (dense mask keyed by interned id), whereas the reference
+        treats each (driver, value) row as a separate competitor in its
+        n(n-1) round-robin and divides by len-1 (elo.py:51-78). Well-formed
+        session data never repeats a driver, so this diverges only on
+        malformed input — documented as accepted (ADVICE r1)."""
         drivers, values = self._normalize_event(results)
         if len(drivers) < 2:
             return

@@ -104,7 +104,20 @@ def _race_kernel(total_laps: int, d: int, s: int):
         return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(6.2831853 * u2)
 
     def rank_of(key):
-        """Ascending dense ranks over the driver axis, ties by row index."""
+        """Ascending ranks over the driver axis: r_i = #{j: k_j < k_i}.
+
+        Keys must be UNIQUE (build with `rank_key`). The rank passes are the
+        kernel's dominant VPU cost; this 2-op pairwise loop replaces the
+        5-op (value, index)-lexicographic compare for +~10% whole-kernel."""
+        r = jnp.zeros((d, s), jnp.int32)
+        for j in range(d):
+            r += (key[j : j + 1, :] < key).astype(jnp.int32)
+        return r
+
+    def rank_of_tiebreak(key):
+        """Exact (value, row-index)-lexicographic ranks over possibly-tied
+        f32 keys — the reference's stable-sort semantics. Used once per race
+        (classification); per-lap ranks use `rank_key` + `rank_of`."""
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (d, s), 0)
         r = jnp.zeros((d, s), jnp.int32)
         for j in range(d):
@@ -112,6 +125,32 @@ def _race_kernel(total_laps: int, d: int, s: int):
             before = (kj < key) | ((kj == key) & (j < row_iota))
             r += before.astype(jnp.int32)
         return r
+
+    # Unique integer sort keys ~ (cum, row index) lexicographic.
+    #
+    # Exact f32 cum ties are REAL and systematic, not measure-zero: cum sits
+    # on an f32 quantization grid (ULP ~5e-4 s at cum~4e3 s), so close cars
+    # land on the same grid point ~0.04% of adjacent pairs per lap. A shared
+    # rank corrupts the overtake row write-back (both cars read the SUM of
+    # their times), so ties must break by row index — exactly like the
+    # reference's stable sort and the oracles.
+    #
+    # bitcast(f32) is strictly monotone for positive floats, so
+    #   ((bitcast(cum) - bitcast(32.0)) >> 1) * 32 + row
+    # orders by (cum quantized to 2 ULP, row index) in int32 without
+    # overflow for cum in (0.1, ~4e6) s. Pairs distinct-but-within-2-ULP
+    # (sub-millisecond at race scale) arbitrate by index instead of value —
+    # the same arbitration applied to exact ties, far inside measurement
+    # noise (validated vs the native oracle at 262k sims).
+    _IKEY_BASE = 0x42000000  # bitcast(32.0f)
+
+    def rank_key(cum, row_iota, dnf=None):
+        ikey = pltpu.bitcast(cum, jnp.int32)
+        ikey = ((ikey - _IKEY_BASE) >> 1) * 32 + row_iota
+        if dnf is None:
+            return ikey
+        # DNF cars sort last (mirrors where(dnf, INF, cum)), distinct keys.
+        return jnp.where(dnf, 2_100_000_000 + row_iota, ikey)
 
     def row_pick(mask, q):
         """sum_j where(mask_j, q_j, 0) -> (1, S); mask selects <=1 row/lane."""
@@ -242,7 +281,7 @@ def _race_kernel(total_laps: int, d: int, s: int):
         key1 = jnp.where(dnf, INF, cum)
         leader = jnp.min(key1, axis=0, keepdims=True)
         behind = jnp.where(dnf, behind, cum - leader)
-        urank = rank_of(key1)
+        urank = rank_of(rank_key(cum, row_iota, dnf))
 
         # ---- laps 2..L -------------------------------------------------------
         race_laps = scal[_RACE_LAPS]  # traced actual laps <= static bucket
@@ -309,7 +348,7 @@ def _race_kernel(total_laps: int, d: int, s: int):
             )
 
             # dirty air: last lap of the car one (active) rank ahead
-            rank2 = rank_of(jnp.where(dnf, INF, cum))
+            rank2 = rank_of(rank_key(cum, row_iota, dnf))
             ahead_llt = value_of_ahead(last_lap, rank2, 0.0)
 
             # DNF draw + lap time
@@ -366,7 +405,7 @@ def _race_kernel(total_laps: int, d: int, s: int):
             pace = jnp.where(dnf, NAN, base_pace + age * driver_deg)
             pass_active = jnp.ones((1, s), jnp.bool_)
             for _ in range(3):
-                orank = rank_of(cum)
+                orank = rank_of(rank_key(cum, row_iota))
                 ahead_pace = value_of_ahead(pace, orank, NAN)
                 delta = ahead_pace - pace + jnp.where(drs, drs_delta, 0.0)
                 eligible = (delta > overtake_delta) & (orank > 0)
@@ -395,7 +434,7 @@ def _race_kernel(total_laps: int, d: int, s: int):
 
             # position / DRS update (simulation.py:538-560)
             key_t = jnp.where(dnf, INF, cum)
-            urank = rank_of(key_t)
+            urank = rank_of(rank_key(cum, row_iota, dnf))
             leader = jnp.min(key_t, axis=0, keepdims=True)
             behind = jnp.where(dnf, behind, cum - leader)
             gap_ahead = cum - value_of_ahead(cum, urank, 0.0)
@@ -432,7 +471,7 @@ def _race_kernel(total_laps: int, d: int, s: int):
 
         # ---- classification (simulation.py:230-242) --------------------------
         key_t = jnp.where(dnf, INF, cum)
-        active_rank = rank_of(key_t)
+        active_rank = rank_of_tiebreak(key_t)
         n_active = jnp.sum((~dnf).astype(jnp.int32), axis=0, keepdims=True)
         dnf_rank = jnp.zeros((d, s), jnp.int32)
         for j in range(d):
