@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = np.float32(-1e30)  # numpy, not jnp: module-level jnp ops eagerly initialize the backend
 
 
 def sample_grid(

@@ -36,6 +36,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from monte_carlo_gp_tpu import config as cfg
@@ -48,7 +49,7 @@ from monte_carlo_gp_tpu.ops.ranking import (
     value_of_car_ahead,
 )
 
-INF_TIME = jnp.float32(1e30)
+INF_TIME = np.float32(1e30)  # numpy, not jnp: module-level jnp ops eagerly initialize the backend
 FUEL_START = 110.0
 FUEL_PER_LAP = 1.5
 FUEL_PACE_GAIN = 0.03  # seconds per kg burned (simulation.py:327)

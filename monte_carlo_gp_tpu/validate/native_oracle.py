@@ -36,18 +36,26 @@ def _load():
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    lib.run_oracle.argtypes = [
+    lib.run_oracle_mut.argtypes = [
         ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         f32p, f32p, f32p, f32p, f32p, f32p,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.c_int32,
         f32p, f32p, i32p,
+        ctypes.c_int32,
         i64p,
     ]
-    lib.run_oracle.restype = None
+    lib.run_oracle_mut.restype = None
     _lib = lib
     return lib
+
+
+# Test-only rule mutations (native/oracle.cpp Mutation enum) used to prove
+# the statistical tolerances actually detect subtle rule bugs.
+MUT_NONE = 0
+MUT_NO_FRONT_ROW_START_CLAMP = 1
+MUT_NO_TWO_COMPOUND_RULE = 2
 
 
 def available() -> bool:
@@ -58,14 +66,20 @@ def available() -> bool:
         return False
 
 
-def run_native_oracle(params: SimParams, seed: int, n_sims: int, total_laps: int) -> np.ndarray:
+def run_native_oracle(
+    params: SimParams, seed: int, n_sims: int, total_laps: int,
+    mutation: int = MUT_NONE,
+) -> np.ndarray:
     """Run the native sequential oracle; returns (D, D) finish probabilities
-    probs[driver, position-1], same contract as `run_monte_carlo`."""
+    probs[driver, position-1], same contract as `run_monte_carlo`.
+
+    `mutation` applies a deliberate rule defect (MUT_*) — used only by
+    mutation-sensitivity tests to prove the tolerances catch such bugs."""
     lib = _load()
     d = params.n_drivers
     counts = np.zeros((d, d), np.int64)
     a32 = lambda x: np.ascontiguousarray(np.asarray(x), np.float32)
-    lib.run_oracle(
+    lib.run_oracle_mut(
         ctypes.c_uint64(seed),
         np.int32(n_sims), np.int32(d), np.int32(total_laps),
         a32(params.grid_probs), a32(params.base_pace), a32(params.tire_deg),
@@ -77,6 +91,7 @@ def run_native_oracle(params: SimParams, seed: int, n_sims: int, total_laps: int
         np.int32(int(params.track_condition)),
         a32(params.compound_pace), a32(params.compound_deg),
         np.ascontiguousarray(np.asarray(params.compound_optimal), np.int32),
+        np.int32(mutation),
         counts,
     )
     return counts.astype(np.float64) / n_sims

@@ -93,7 +93,13 @@ struct Params {
         dirty_thresh, dirty_pen;
     const float *comp_pace, *comp_deg;
     const int32_t *comp_optimal;
+    // Test-only rule mutations (mutation-sensitivity proofs for the
+    // statistical tolerances; see tests/test_engine_stats.py). 0 = none.
+    int32_t mutation = 0;
 };
+
+enum Mutation { MUT_NONE = 0, MUT_NO_FRONT_ROW_START_CLAMP = 1,
+                MUT_NO_TWO_COMPOUND_RULE = 2 };
 
 int condition_compound(int cond, int remaining) {
     if (cond == FULL_WET) return WETC;
@@ -171,7 +177,8 @@ void simulate_one(Rng& rng, const Params& p, const std::vector<int>& order,
         double base = clean_time(rng, p, c);
         double pos = c.grid_slot + 1;
         double delta = rng.normal() * std::min(1.5, 0.5 + pos * 0.1);
-        if (pos <= 3) delta = std::min(delta, 1.0);
+        if (pos <= 3 && p.mutation != MUT_NO_FRONT_ROW_START_CLAMP)
+            delta = std::min(delta, 1.0);
         c.cum += base - delta * 0.5;
         c.tire_age += 1;
         c.fuel = std::max(0.0, c.fuel - 1.5);
@@ -281,7 +288,8 @@ void simulate_one(Rng& rng, const Params& p, const std::vector<int>& order,
                 c.cum += p.pit_loss;
                 int nc = condition_compound(p.condition, remaining);
                 int n_used = c.used[0] + c.used[1] + c.used[2];
-                if (n_used == 1 && nc <= HARD && c.used[nc] && p.condition == DRY) {
+                if (n_used == 1 && nc <= HARD && c.used[nc] && p.condition == DRY
+                    && p.mutation != MUT_NO_TWO_COMPOUND_RULE) {
                     if (remaining > 20) nc = !c.used[MEDIUM] ? MEDIUM : HARD;
                     else nc = !c.used[SOFT] ? SOFT : MEDIUM;
                 }
@@ -336,14 +344,14 @@ void simulate_one(Rng& rng, const Params& p, const std::vector<int>& order,
 
 }  // namespace
 
-extern "C" void run_oracle(
+extern "C" void run_oracle_mut(
     uint64_t seed, int32_t n_sims, int32_t n_drivers, int32_t total_laps,
     const float* grid_probs, const float* base_pace, const float* tire_deg,
     const float* variance, const float* dnf_rate, const float* team_dnf_rate,
     float pit_loss, float overtake_delta, float sc_p, float vsc_p, float red_p,
     float drs_delta, float dirty_thresh, float dirty_pen, int32_t track_condition,
     const float* comp_pace, const float* comp_deg, const int32_t* comp_optimal,
-    int64_t* counts_out) {
+    int32_t mutation, int64_t* counts_out) {
     Params p;
     p.d = n_drivers; p.laps = total_laps; p.condition = track_condition;
     p.grid_probs = grid_probs; p.base_pace = base_pace; p.tire_deg = tire_deg;
@@ -352,6 +360,7 @@ extern "C" void run_oracle(
     p.sc_p = sc_p; p.vsc_p = vsc_p; p.red_p = red_p; p.drs_delta = drs_delta;
     p.dirty_thresh = dirty_thresh; p.dirty_pen = dirty_pen;
     p.comp_pace = comp_pace; p.comp_deg = comp_deg; p.comp_optimal = comp_optimal;
+    p.mutation = mutation;
 
     std::memset(counts_out, 0, sizeof(int64_t) * n_drivers * n_drivers);
     Rng rng(seed);
@@ -363,4 +372,19 @@ extern "C" void run_oracle(
         for (int drv = 0; drv < n_drivers; drv++)
             counts_out[drv * n_drivers + (result[drv] - 1)] += 1;
     }
+}
+
+extern "C" void run_oracle(
+    uint64_t seed, int32_t n_sims, int32_t n_drivers, int32_t total_laps,
+    const float* grid_probs, const float* base_pace, const float* tire_deg,
+    const float* variance, const float* dnf_rate, const float* team_dnf_rate,
+    float pit_loss, float overtake_delta, float sc_p, float vsc_p, float red_p,
+    float drs_delta, float dirty_thresh, float dirty_pen, int32_t track_condition,
+    const float* comp_pace, const float* comp_deg, const int32_t* comp_optimal,
+    int64_t* counts_out) {
+    run_oracle_mut(seed, n_sims, n_drivers, total_laps, grid_probs, base_pace,
+                   tire_deg, variance, dnf_rate, team_dnf_rate, pit_loss,
+                   overtake_delta, sc_p, vsc_p, red_p, drs_delta, dirty_thresh,
+                   dirty_pen, track_condition, comp_pace, comp_deg,
+                   comp_optimal, 0, counts_out);
 }

@@ -1,0 +1,67 @@
+"""One 'host' of the multi-process dryrun (tests/test_multihost.py).
+
+Each worker owns ONE CPU device and joins a gloo-backed jax.distributed
+runtime; together the N workers form the same 'sims'-axis mesh a pod slice
+would, and run the sharded Monte Carlo. Process 0 writes the histogram,
+which must be BITWISE identical to a single-process run of the same
+(key, n_sims) — counter-based draws make the math process-layout-blind.
+
+Usage: python multihost_worker.py <coordinator> <num_procs> <proc_id> <out.npy>
+"""
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+
+def main(coordinator: str, num_procs: int, proc_id: int, out_path: str) -> None:
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    from monte_carlo_gp_tpu.parallel.distributed import initialize_distributed
+
+    assert initialize_distributed(
+        coordinator_address=coordinator,
+        num_processes=num_procs,
+        process_id=proc_id,
+        platform="cpu",
+    )
+
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_threefry_partitionable", True)
+    assert len(jax.devices()) == num_procs, jax.devices()
+    assert len(jax.local_devices()) == 1
+
+    from monte_carlo_gp_tpu.config import make_sim_params
+    from monte_carlo_gp_tpu.parallel.mesh import make_mesh, sharded_monte_carlo
+
+    d = 8
+    gp = np.exp(
+        -((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 6.0
+    ).astype(np.float32)
+    gp /= gp.sum(1, keepdims=True)
+    params = make_sim_params(
+        grid_probs=gp,
+        base_pace=90 + 0.12 * np.arange(d),
+        tire_deg=np.full(d, 0.05),
+        variance=np.full(d, 0.15),
+        dnf_rate=np.full(d, 0.001),
+        team_dnf_rate=np.full(d, 0.002),
+        pit_loss=21.0,
+        overtake_delta=0.6,
+    )
+    mesh = make_mesh({"sims": num_procs})
+    probs = sharded_monte_carlo(
+        params, jax.random.PRNGKey(11), n_sims=1024, total_laps=12, mesh=mesh
+    )
+    # fully-replicated output: every process holds the global value
+    local = np.asarray(probs)
+    if proc_id == 0:
+        np.save(out_path, local)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])

@@ -127,8 +127,10 @@ def test_native_oracle_matches_python_oracle():
 
 @pytest.mark.slow
 def test_engine_matches_native_oracle_high_n():
-    """High-N validation the Python oracle cannot afford: 40k native oracle
-    sims vs 32k XLA-engine sims — tight distributional agreement."""
+    """High-N validation the Python oracle cannot afford: 400k native oracle
+    sims vs 65k XLA-engine sims. Bound 0.012 = 3x the measured agreement
+    (0.0041) — tight enough that dropping a single event-model rule fails it
+    (test_mutation_two_compound_rule_is_detected proves this)."""
     from monte_carlo_gp_tpu.validate.native_oracle import available, run_native_oracle
 
     if not available():
@@ -136,7 +138,7 @@ def test_engine_matches_native_oracle_high_n():
     d, laps = 10, 30
     sc = scenario(d)
     params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
-    n_nat, n_tpu = 40_000, 32_768
+    n_nat, n_tpu = 400_000, 65_536
     native = run_native_oracle(params, seed=7, n_sims=n_nat, total_laps=laps)
     engine = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(7), n_tpu, laps))
 
@@ -147,9 +149,55 @@ def test_engine_matches_native_oracle_high_n():
     var_e = engine @ positions**2 - mean_e**2
     se = np.sqrt(var_n / n_nat + var_e / n_tpu)
     z = (mean_n - mean_e) / np.maximum(se, 1e-6)
-    assert (np.abs(z) < 5.0).all(), (mean_n, mean_e, z)
+    assert (np.abs(z) < 4.0).all(), (mean_n, mean_e, z)
     tv = 0.5 * np.abs(native - engine).sum(axis=1)
-    assert tv.max() < 0.05, tv
+    assert tv.max() < 0.012, tv
+
+
+def _two_compound_scenario(d=10):
+    """Every car starts SOFT (d<=10 grid slots are 'top 10'); at 24 laps the
+    pit window lands at remaining<=15, so the condition-based pick is SOFT
+    again and the mandatory two-dry-compound rule fires for most of the
+    field — the rule's effect on finish distributions is ~25x the Monte
+    Carlo noise here (TV ~0.10 vs floor ~0.004)."""
+    return scenario(d), 24
+
+
+@pytest.mark.slow
+def test_mutation_two_compound_rule_is_detected():
+    """Mutation-sensitivity proof (VERDICT r1 #4): a seeded rule defect —
+    the native oracle with the two-compound rule DROPPED — must FAIL the
+    tight tolerance that the real engine passes in the same scenario.
+
+    (The other candidate mutation, dropping the front-row start-gain clamp,
+    is distribution-INVISIBLE: it only caps the winning margin of cars
+    already in front, never their finishing order — measured effect equals
+    the MC noise floor at 400k sims in every scenario tried. No
+    finish-distribution test can detect it, regardless of tolerance.)"""
+    from monte_carlo_gp_tpu.validate.native_oracle import (
+        MUT_NO_TWO_COMPOUND_RULE,
+        available,
+        run_native_oracle,
+    )
+
+    if not available():
+        pytest.skip("g++ unavailable")
+    sc, laps = _two_compound_scenario()
+    params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
+    engine = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(9), 65_536, laps))
+
+    good = run_native_oracle(params, seed=42, n_sims=400_000, total_laps=laps)
+    tv_good = 0.5 * np.abs(good - engine).sum(axis=1)
+    assert tv_good.max() < 0.012, ("engine must pass the tight bound", tv_good)
+
+    mutated = run_native_oracle(
+        params, seed=42, n_sims=400_000, total_laps=laps,
+        mutation=MUT_NO_TWO_COMPOUND_RULE,
+    )
+    tv_bad = 0.5 * np.abs(mutated - engine).sum(axis=1)
+    assert tv_bad.max() > 0.05, (
+        "the dropped rule must blow the tolerance", tv_bad
+    )
 
 
 @pytest.mark.slow
@@ -168,10 +216,10 @@ def test_event_heavy_race_matches_native_oracle():
         sc_prob=0.15, vsc_prob=0.15, red_flag_prob=0.03,
         **sc,
     )
-    native = run_native_oracle(params, seed=3, n_sims=30_000, total_laps=laps)
+    native = run_native_oracle(params, seed=3, n_sims=200_000, total_laps=laps)
     engine = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(3), 16_384, laps))
     tv = 0.5 * np.abs(native - engine).sum(axis=1)
-    assert tv.max() < 0.06, tv
+    assert tv.max() < 0.04, tv  # noise is the 16k engine side (~0.02)
 
 
 @pytest.mark.slow
@@ -186,10 +234,10 @@ def test_wet_race_matches_native_oracle():
     params = make_sim_params(
         pit_loss=21.0, overtake_delta=0.6, track_condition="damp", **sc
     )
-    native = run_native_oracle(params, seed=5, n_sims=30_000, total_laps=laps)
+    native = run_native_oracle(params, seed=5, n_sims=200_000, total_laps=laps)
     engine = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(5), 16_384, laps))
     tv = 0.5 * np.abs(native - engine).sum(axis=1)
-    assert tv.max() < 0.06, tv
+    assert tv.max() < 0.04, tv  # noise is the 16k engine side (~0.02)
 
 
 @pytest.mark.slow

@@ -1,0 +1,84 @@
+"""Multi-process (multi-'host') dryrun — SURVEY.md §5 distributed backend.
+
+Spawns N separate python processes, each owning ONE CPU device, joined via
+`jax.distributed.initialize` with gloo collectives (parallel/distributed.py)
+— the hardware-free stand-in for N TPU hosts on a pod slice. The sharded
+Monte Carlo must produce a histogram BITWISE identical to the
+single-process virtual-mesh run: collectives and counter-based seeding
+survive process boundaries.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_multiprocess_sharded_monte_carlo_bitwise(tmp_path):
+    n_procs = 4
+    coordinator = f"127.0.0.1:{_free_port()}"
+    out = tmp_path / "mp_probs.npy"
+    worker = Path(__file__).parent / "multihost_worker.py"
+
+    # Strip the sandbox's TPU auto-registration (sitecustomize initializes
+    # the XLA backend at interpreter start when PALLAS_AXON_POOL_IPS is set,
+    # which jax.distributed.initialize must precede) and any platform pins.
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, str(n_procs), str(i), str(out)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for i in range(n_procs)
+    ]
+    outputs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outputs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    assert out.exists()
+    multi = np.load(out)
+
+    # single-process reference on the in-process virtual mesh
+    import jax
+
+    from monte_carlo_gp_tpu.config import make_sim_params
+    from monte_carlo_gp_tpu.parallel.mesh import make_mesh, sharded_monte_carlo
+
+    d = 8
+    gp = np.exp(
+        -((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 6.0
+    ).astype(np.float32)
+    gp /= gp.sum(1, keepdims=True)
+    params = make_sim_params(
+        grid_probs=gp,
+        base_pace=90 + 0.12 * np.arange(d),
+        tire_deg=np.full(d, 0.05),
+        variance=np.full(d, 0.15),
+        dnf_rate=np.full(d, 0.001),
+        team_dnf_rate=np.full(d, 0.002),
+        pit_loss=21.0,
+        overtake_delta=0.6,
+    )
+    mesh = make_mesh({"sims": n_procs}, devices=jax.devices()[:n_procs])
+    single = np.asarray(
+        sharded_monte_carlo(
+            params, jax.random.PRNGKey(11), n_sims=1024, total_laps=12, mesh=mesh
+        )
+    )
+    np.testing.assert_array_equal(multi, single)
