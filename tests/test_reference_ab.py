@@ -262,6 +262,27 @@ def test_reference_engine_damp(ref, matching_hashseed, tmp_path):
     _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.06)
 
 
+def test_reference_engine_full_wet(ref, matching_hashseed, tmp_path):
+    """Full-wet: WET compound start, wet pit picks, fresh tires for all."""
+    import jax
+
+    from monte_carlo_gp_tpu.config import make_sim_params
+    from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+    d, laps = 10, 30
+    sc = _scenario(d, seed=21)
+    n_ref = 6_000
+    ref_probs = _run_reference(
+        sc, laps, n_ref, 9, matching_hashseed, tmp_path, track_condition="wet"
+    )
+    params = make_sim_params(
+        pit_loss=21.0, overtake_delta=0.6, track_condition="wet", **sc
+    )
+    n_xla = 32_768
+    xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(9), n_xla, laps))
+    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.06)
+
+
 # =============================================================================
 # (b) Elo: reference F1EloSystem vs models/elo.py on identical sequences
 # =============================================================================
