@@ -65,5 +65,10 @@ def initialize_distributed(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        # Generous barriers: on oversubscribed CI hosts (the 1-core CPU
+        # dryrun) processes reach init/shutdown minutes apart while each
+        # compiles; the defaults (300 s) have been observed to trip.
+        initialization_timeout=600,
+        shutdown_timeout_seconds=600,
     )
     return True

@@ -27,8 +27,6 @@ def _free_port() -> int:
 @pytest.mark.slow
 def test_multiprocess_sharded_monte_carlo_bitwise(tmp_path):
     n_procs = 4
-    coordinator = f"127.0.0.1:{_free_port()}"
-    out = tmp_path / "mp_probs.npy"
     worker = Path(__file__).parent / "multihost_worker.py"
 
     # Strip the sandbox's TPU auto-registration (sitecustomize initializes
@@ -39,18 +37,32 @@ def test_multiprocess_sharded_monte_carlo_bitwise(tmp_path):
         for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
     }
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), coordinator, str(n_procs), str(i), str(out)],
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-        )
-        for i in range(n_procs)
-    ]
-    outputs = [p.communicate(timeout=420) for p in procs]
-    for p, (so, se) in zip(procs, outputs):
-        assert p.returncode == 0, se.decode()[-2000:]
+
+    def attempt(out):
+        coordinator = f"127.0.0.1:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), coordinator, str(n_procs),
+                 str(i), str(out)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+            for i in range(n_procs)
+        ]
+        outputs = [p.communicate(timeout=540) for p in procs]
+        return [(p.returncode, se.decode()[-2000:]) for p, (so, se) in zip(procs, outputs)]
+
+    # One retry: on an oversubscribed single-core host, coordination-service
+    # barriers can time out even with generous limits (a scheduling flake,
+    # not a correctness property of the code under test).
+    out = tmp_path / "mp_probs.npy"
+    results = attempt(out)
+    if any(rc != 0 for rc, _ in results):
+        out = tmp_path / "mp_probs_retry.npy"
+        results = attempt(out)
+    for rc, err in results:
+        assert rc == 0, err
     assert out.exists()
     multi = np.load(out)
 
