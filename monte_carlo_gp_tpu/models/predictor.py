@@ -82,11 +82,25 @@ def resolve_engine(engine: str) -> str:
     multi-chip hosts shard the tile grid via shard_map
     (ops/pallas_engine.run_monte_carlo_pallas_sharded) at the same per-chip
     throughput. Non-TPU hosts use the XLA lap-scan engine."""
+    on_tpu = jax.devices()[0].platform == "tpu"
     if engine == "auto":
-        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        return "pallas" if on_tpu else "xla"
     if engine not in ("xla", "pallas"):
         raise ValueError(f"unknown engine {engine!r} (use 'xla' or 'pallas')")
+    if engine == "pallas" and not on_tpu and not _ALLOW_PALLAS_OFF_TPU:
+        # Fail with intent instead of a Mosaic lowering error: off-TPU the
+        # kernel would need interpreter mode, whose PRNG returns zeros —
+        # structurally valid but statistically meaningless results.
+        raise ValueError(
+            "engine='pallas' requires a TPU (the fused kernel's hardware "
+            "PRNG has no CPU lowering); use engine='xla' or 'auto'"
+        )
     return engine
+
+
+# Structure-only escape hatch for tests exercising the pallas plumbing on
+# the CPU interpreter (tests/test_pallas_engine.py); never set in production.
+_ALLOW_PALLAS_OFF_TPU = False
 
 
 import dataclasses

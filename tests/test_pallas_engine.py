@@ -142,13 +142,31 @@ def test_simulate_plan_uses_sharded_pallas_on_multidevice(tmp_path):
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")
     from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
+    from monte_carlo_gp_tpu.models import predictor as predictor_mod
     from monte_carlo_gp_tpu.models.predictor import F1Predictor
 
     p = F1Predictor(cache_dir=tmp_path, backend=SyntheticBackend(seed=5, n_events=2))
     plan = p.prepare_weekend(2024, "Bahrain")
-    probs = p.simulate_plan(plan, 300, seed=1, engine="pallas")
+    # structure-only on CPU (interpreter PRNG): bypass the off-TPU guard
+    predictor_mod._ALLOW_PALLAS_OFF_TPU = True
+    try:
+        probs = p.simulate_plan(plan, 300, seed=1, engine="pallas")
+    finally:
+        predictor_mod._ALLOW_PALLAS_OFF_TPU = False
     assert p.last_effective_sims == 300  # tile = min(1024, 300) = 300
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_engine_pallas_off_tpu_raises_clearly(tmp_path):
+    """Explicitly requesting the pallas engine off-TPU must fail with a
+    clear error, not a Mosaic lowering crash (interpreter PRNG would return
+    zeros — statistically meaningless results)."""
+    if jax.devices()[0].platform == "tpu":
+        pytest.skip("TPU host: pallas is valid here")
+    from monte_carlo_gp_tpu.models.predictor import resolve_engine
+
+    with pytest.raises(ValueError, match="requires a TPU"):
+        resolve_engine("pallas")
 
 
 def test_small_grid_traces():
