@@ -82,12 +82,19 @@ def resolve_engine(engine: str) -> str:
     multi-chip hosts shard the tile grid via shard_map
     (ops/pallas_engine.run_monte_carlo_pallas_sharded) at the same per-chip
     throughput. Non-TPU hosts use the XLA lap-scan engine."""
-    on_tpu = jax.devices()[0].platform == "tpu"
+    # engine='xla' must NOT touch jax.devices(): that initializes the XLA
+    # backend, which must not happen before jax.distributed.initialize on
+    # multi-host launches (parallel/distributed.py). Only the choices that
+    # genuinely depend on the platform look at it.
     if engine == "auto":
-        return "pallas" if on_tpu else "xla"
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     if engine not in ("xla", "pallas"):
         raise ValueError(f"unknown engine {engine!r} (use 'xla' or 'pallas')")
-    if engine == "pallas" and not on_tpu and not _ALLOW_PALLAS_OFF_TPU:
+    if (
+        engine == "pallas"
+        and not _ALLOW_PALLAS_OFF_TPU
+        and jax.devices()[0].platform != "tpu"
+    ):
         # Fail with intent instead of a Mosaic lowering error: off-TPU the
         # kernel would need interpreter mode, whose PRNG returns zeros —
         # structurally valid but statistically meaningless results.
@@ -361,6 +368,12 @@ class F1Predictor:
         configured backend for this call."""
         engine = resolve_engine(engine) if engine else self._engine
         key = jax.random.PRNGKey(0 if seed is None else seed)
+        # One compile per lap-count bucket serves every circuit (see
+        # _lap_bucket); the actual length rides in as a traced scalar.
+        bucket = _lap_bucket(plan.total_laps)
+        race_laps = (
+            None if bucket == plan.total_laps else jnp.int32(plan.total_laps)
+        )
         if engine == "pallas":
             from monte_carlo_gp_tpu.ops.pallas_engine import (
                 run_monte_carlo_pallas,
@@ -382,11 +395,6 @@ class F1Predictor:
                     tile=tile,
                 )
             self.last_effective_sims = n_eff
-            bucket = _lap_bucket(plan.total_laps)
-            race_laps = (
-                None if bucket == plan.total_laps
-                else jnp.int32(plan.total_laps)
-            )
             if len(jax.devices()) > 1:
                 # Multi-chip: shard the tile grid; bitwise identical to the
                 # single-chip kernel for the same (key, n_eff, tile).
@@ -403,10 +411,6 @@ class F1Predictor:
                 )
             )
         self.last_effective_sims = int(n_simulations)
-        bucket = _lap_bucket(plan.total_laps)
-        race_laps = (
-            None if bucket == plan.total_laps else jnp.int32(plan.total_laps)
-        )
         return np.asarray(
             run_monte_carlo(
                 plan.params, key, int(n_simulations), bucket,

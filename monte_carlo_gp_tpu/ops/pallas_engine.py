@@ -137,11 +137,14 @@ def _race_kernel(total_laps: int, d: int, s: int):
     #
     # bitcast(f32) is strictly monotone for positive floats, so
     #   ((bitcast(cum) - bitcast(32.0)) >> 1) * 32 + row
-    # orders by (cum quantized to 2 ULP, row index) in int32 without
-    # overflow for cum in (0.1, ~4e6) s. Pairs distinct-but-within-2-ULP
-    # (sub-millisecond at race scale) arbitrate by index instead of value —
-    # the same arbitration applied to exact ties, far inside measurement
-    # noise (validated vs the native oracle at 262k sims).
+    # orders by (cum quantized to 2 ULP, row index) in int32. Live keys stay
+    # below the 2.1e9 DNF sentinel for cum < ~1.7e6 s (guarded host-side in
+    # run_monte_carlo_pallas: max plausible cum is bounded by
+    # base_pace-scale * laps plus slack — real races are ~5e3 s). Pairs
+    # distinct-but-within-2-ULP (sub-millisecond at race scale) arbitrate by
+    # index instead of value — the same arbitration applied to exact ties,
+    # far inside measurement noise (validated vs the native oracle at 262k
+    # sims).
     _IKEY_BASE = 0x42000000  # bitcast(32.0f)
 
     def rank_key(cum, row_iota, dnf=None):
@@ -496,8 +499,11 @@ def _race_kernel(total_laps: int, d: int, s: int):
 
 
 def _tile_seeds(key: jax.Array, n_tiles: int, n_valid: int) -> jax.Array:
-    """(n_tiles, 3) int32: the folded threefry key words for each GLOBAL tile
-    index plus a validity flag (0 for padding tiles beyond `n_valid`)."""
+    """(n_tiles, 3) int32: two seed words derived from each GLOBAL tile
+    index's folded key, plus a validity flag (0 for padding tiles beyond
+    `n_valid`). Key impls with more than two data words (rbg has four) are
+    XOR-folded down to two so the layout — and the kernel's hardcoded
+    column indices — never depend on jax_default_prng_impl."""
 
     def tile_seed(t):
         k = jax.random.fold_in(key, t)
@@ -506,7 +512,18 @@ def _tile_seeds(key: jax.Array, n_tiles: int, n_valid: int) -> jax.Array:
             if jnp.issubdtype(k.dtype, jax.dtypes.prng_key)
             else k
         )
-        words = jax.lax.bitcast_convert_type(data, jnp.int32)
+        words = jax.lax.bitcast_convert_type(data, jnp.int32).reshape(-1)
+        n = words.shape[0]  # static per prng impl
+        if n == 1:
+            words = jnp.concatenate([words, words])
+        elif n > 2:
+            w0, w1 = words[0], words[1]
+            for i in range(2, n):
+                if i % 2 == 0:
+                    w0 = w0 ^ words[i]
+                else:
+                    w1 = w1 ^ words[i]
+            words = jnp.stack([w0, w1])
         return jnp.concatenate([words, (t < n_valid).astype(jnp.int32)[None]])
 
     return jax.vmap(tile_seed)(jnp.arange(n_tiles))
@@ -543,9 +560,24 @@ def _pallas_counts(
     return call()
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_sims", "total_laps", "sims_per_tile", "interpret")
-)
+def _check_rank_key_domain(params: SimParams, total_laps: int) -> None:
+    """Host-side guard for the kernel's int32 rank keys: live keys must stay
+    below the 2.1e9 DNF sentinel, which holds while cumulative time stays
+    under ~1.7e6 s. Bound the worst plausible cum by (slowest base pace +
+    compound/pit/noise slack) * laps. Skipped under tracing (values already
+    validated at the first concrete call)."""
+    base = params.base_pace
+    if isinstance(base, jax.core.Tracer):
+        return
+    worst_lap = float(np.max(np.asarray(base))) + 100.0
+    if worst_lap * (total_laps + 1) > 1.5e6:
+        raise ValueError(
+            f"base_pace up to {worst_lap - 100:.3g}s over {total_laps} laps "
+            "exceeds the Pallas rank-key domain (cumulative time must stay "
+            "under ~1.5e6 s); use the XLA engine for such configurations"
+        )
+
+
 def run_monte_carlo_pallas(
     params: SimParams,
     key: jax.Array,
@@ -569,6 +601,24 @@ def run_monte_carlo_pallas(
         raise ValueError(
             f"n_sims={n_sims} must be a multiple of sims_per_tile={sims_per_tile}"
         )
+    _check_rank_key_domain(params, total_laps)
+    return _run_pallas_jit(
+        params, key, n_sims, total_laps, sims_per_tile, interpret, race_laps
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_sims", "total_laps", "sims_per_tile", "interpret")
+)
+def _run_pallas_jit(
+    params: SimParams,
+    key: jax.Array,
+    n_sims: int,
+    total_laps: int,
+    sims_per_tile: int,
+    interpret: bool,
+    race_laps: jax.Array | None,
+) -> jax.Array:
     d = params.n_drivers
     n_tiles = n_sims // sims_per_tile
     pmat, scal, grid_log = _pack_inputs(
@@ -661,6 +711,7 @@ def run_monte_carlo_pallas_sharded(
         raise ValueError(
             f"n_sims={n_sims} must be a multiple of sims_per_tile={sims_per_tile}"
         )
+    _check_rank_key_domain(params, total_laps)
     if mesh is None:
         from monte_carlo_gp_tpu.parallel.mesh import make_mesh
 

@@ -45,14 +45,26 @@ def get_races(loader, season: int) -> list[str]:
     return [ev["EventName"] for ev in loader.past_events(season)]
 
 
-def _race_cutoffs(loader, season: int) -> list[pd.Timestamp | None]:
+def _race_cutoffs(loader, season: int) -> list[pd.Timestamp]:
     """Per-race clock cutoffs: just before each event's date, so pinning the
-    loader there exposes only races strictly earlier in the calendar."""
-    cutoffs = []
+    loader there exposes only races strictly earlier in the calendar.
+
+    Dateless (NaT) events back-fill from the nearest EARLIER cutoff — or the
+    season's Jan 1 for a dateless opener — which can only hide information,
+    never leak it. (A silently-unpinned race would reintroduce the full
+    season-leak + Elo double-count this module exists to prevent.)
+
+    Race-day weather is deliberately NOT covered by the pin: the reference
+    predicts with `get_weather(season, race, "R")` (predictor.py:212-216) —
+    actual race-session weather standing in for a pre-race forecast — and
+    `load_session`/`get_weather` are clock-free by design. See PARITY.md
+    divergence #4."""
+    cutoffs: list[pd.Timestamp] = []
+    fallback = pd.Timestamp(f"{season}-01-01", tz="UTC")
     for ev in loader.past_events(season):
         date = ev.get("EventDate")
         if date is None or pd.isna(date):
-            cutoffs.append(None)
+            cutoffs.append(cutoffs[-1] if cutoffs else fallback)
             continue
         date = pd.to_datetime(date)
         if date.tzinfo is None:
@@ -62,7 +74,7 @@ def _race_cutoffs(loader, season: int) -> list[pd.Timestamp | None]:
 
 
 def _pin(loader, cutoffs, idx: int, enabled: bool) -> None:
-    if enabled and idx < len(cutoffs) and cutoffs[idx] is not None:
+    if enabled and idx < len(cutoffs):
         loader.set_now(cutoffs[idx])
 
 
@@ -295,6 +307,10 @@ def backtest_model_batched(
                 n_sims=n_simulations,
                 mesh=mesh,
             )
+        if engine != "pallas":
+            # the sharded season path bypasses simulate_plan, so record the
+            # effective count explicitly for assemble_result's result field
+            predictor.last_effective_sims = n_simulations
         for plan, act, p in zip(plans, acts, probs):
             d = len(plan.drivers)
             pred = predictor.assemble_result(plan, p[:d, :d])

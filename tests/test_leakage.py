@@ -127,6 +127,44 @@ def test_backtest_feature_archive_no_leak(tmp_path):
         assert {c for (s, c) in archive_snaps[k] if s == SEASON - 1} == set(races)
 
 
+def test_cutoffs_backfill_dateless_events():
+    """A NaT EventDate must NOT silently unpin the clock (that would
+    reintroduce the season leak): dateless events back-fill from the nearest
+    earlier cutoff, a dateless opener from the season's Jan 1."""
+    import pandas as pd
+
+    from monte_carlo_gp_tpu.data.loader import F1DataLoader
+    from monte_carlo_gp_tpu.validate.backtest import _race_cutoffs
+
+    class Sched:
+        def __init__(self, events):
+            self._events = events
+
+        def get_schedule(self, season):
+            return self._events
+
+        def load_laps(self, *a):
+            return None
+
+        def load_results(self, *a):
+            return None
+
+        def load_weather(self, *a):
+            return None
+
+    d1 = pd.Timestamp("2024-03-01", tz="UTC")
+    events = [
+        {"EventName": "A", "EventFormat": "conventional", "EventDate": pd.NaT},
+        {"EventName": "B", "EventFormat": "conventional", "EventDate": d1},
+        {"EventName": "C", "EventFormat": "conventional", "EventDate": pd.NaT},
+    ]
+    loader = F1DataLoader(cache_dir="/tmp/unused_cutoffs", backend=Sched(events))
+    cutoffs = _race_cutoffs(loader, 2024)
+    assert cutoffs[0] == pd.Timestamp("2024-01-01", tz="UTC")
+    assert cutoffs[1] == d1 - pd.Timedelta(seconds=1)
+    assert cutoffs[2] == cutoffs[1]  # back-fill, never forward
+
+
 @pytest.mark.slow
 def test_pin_clock_false_reproduces_leaky_reference_behavior(tmp_path):
     """pin_clock=False must differ from the fixed default (proves the fix

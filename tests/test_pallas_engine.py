@@ -55,6 +55,19 @@ def test_rejects_bad_tile_split():
         run_monte_carlo_pallas(params, jax.random.PRNGKey(0), 100, 12, sims_per_tile=64)
 
 
+def test_rejects_rank_key_domain_overflow():
+    """Cumulative times beyond ~1.5e6 s would wrap the kernel's int32 rank
+    keys; the host-side guard must reject such configurations up front."""
+    import dataclasses
+
+    params = small_params()
+    bad = dataclasses.replace(
+        params, base_pace=jax.numpy.full((8,), 1e6, jax.numpy.float32)
+    )
+    with pytest.raises(ValueError, match="rank-key domain"):
+        run_monte_carlo_pallas(bad, jax.random.PRNGKey(0), 128, 12, sims_per_tile=128)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires real TPU")
 @pytest.mark.slow
 def test_matches_native_oracle_high_n_on_tpu():
