@@ -45,6 +45,7 @@ from monte_carlo_gp_tpu.ops import rng
 from monte_carlo_gp_tpu.ops.ranking import (
     gather_at_rank,
     rank_by,
+    rank_by_unique,
     scatter_by_rank,
     value_of_car_ahead,
 )
@@ -158,8 +159,10 @@ def _clean_lap_time(params: SimParams, cars: Cars, noise: jax.Array) -> jax.Arra
 
 
 def _active_rank(cars: Cars) -> jax.Array:
-    """Rank among non-DNF cars by cumulative time; DNF cars rank last."""
-    return rank_by(jnp.where(cars.dnf, INF_TIME, cars.cum_time))
+    """Rank among non-DNF cars by cumulative time; DNF cars rank last.
+    Unique-int-key fast path (ranking.rank_by_unique) — classification keeps
+    the exact lexicographic `rank_by`, mirroring the Pallas kernel."""
+    return rank_by_unique(cars.cum_time, cars.dnf)
 
 
 def _update_positions(
@@ -405,7 +408,7 @@ def _overtakes(params: SimParams, cars: Cars, key: jax.Array) -> Cars:
     cum = cars.cum_time
     for p in range(OVERTAKE_PASSES):
         # Reference sorts ALL cars (including DNF) by cumulative time.
-        rank = rank_by(cum)
+        rank = rank_by_unique(cum)
         cum_pos = scatter_by_rank(cum, rank)
         pace_pos = scatter_by_rank(pace, rank)
         dnf_pos = scatter_by_rank(cars.dnf, rank)
@@ -445,8 +448,10 @@ def _overtakes(params: SimParams, cars: Cars, key: jax.Array) -> Cars:
 def classify(cars: Cars) -> jax.Array:
     """Final 1-indexed positions (reference simulation.py:230-242):
     finishers by cumulative time, then DNFs by (retirement lap, cumulative
-    time) descending."""
-    active_rank = _active_rank(cars)
+    time) descending. Runs once per race, so it keeps the EXACT
+    (value, index)-lexicographic rank rather than the 2-ULP-quantized
+    fast path used per lap."""
+    active_rank = rank_by(jnp.where(cars.dnf, INF_TIME, cars.cum_time))
     n_active = jnp.sum(~cars.dnf, axis=-1, keepdims=True)
 
     # DNF rank: descending lexicographic (lap, cum_time), stable.

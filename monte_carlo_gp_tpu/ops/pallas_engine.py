@@ -135,21 +135,21 @@ def _race_kernel(total_laps: int, d: int, s: int):
     # their times), so ties must break by row index — exactly like the
     # reference's stable sort and the oracles.
     #
-    # bitcast(f32) is strictly monotone for positive floats, so
-    #   ((bitcast(cum) - bitcast(32.0)) >> 1) * 32 + row
-    # orders by (cum quantized to 2 ULP, row index) in int32. Live keys stay
+    # bitcast(f32) is strictly monotone for non-negative floats, so
+    #   ((bitcast(max(cum, 0.25)) - bitcast(0.25)) >> 2) * 32 + row
+    # orders by (cum quantized to 4 ULP, row index) in int32. Live keys stay
     # below the 2.1e9 DNF sentinel for cum < ~1.7e6 s (guarded host-side in
-    # run_monte_carlo_pallas: max plausible cum is bounded by
-    # base_pace-scale * laps plus slack — real races are ~5e3 s). Pairs
-    # distinct-but-within-2-ULP (sub-millisecond at race scale) arbitrate by
-    # index instead of value — the same arbitration applied to exact ties,
-    # far inside measurement noise (validated vs the native oracle at 262k
-    # sims).
-    _IKEY_BASE = 0x42000000  # bitcast(32.0f)
+    # run_monte_carlo_pallas; real races are ~5e3 s), and the 0.25 s floor
+    # keeps tiny/zero times in-domain (sub-floor values tie -> index).
+    # Pairs distinct-but-within-4-ULP (milliseconds at race scale) arbitrate
+    # by index instead of value — the same arbitration applied to exact
+    # ties, far inside measurement noise (validated vs the native oracle at
+    # 262k sims). Mirrors ops/ranking.rank_by_unique.
+    _IKEY_BASE = 0x3E800000  # bitcast(0.25f)
 
     def rank_key(cum, row_iota, dnf=None):
-        ikey = pltpu.bitcast(cum, jnp.int32)
-        ikey = ((ikey - _IKEY_BASE) >> 1) * 32 + row_iota
+        ikey = pltpu.bitcast(jnp.maximum(cum, 0.25), jnp.int32)
+        ikey = ((ikey - _IKEY_BASE) >> 2) * 32 + row_iota
         if dnf is None:
             return ikey
         # DNF cars sort last (mirrors where(dnf, INF, cum)), distinct keys.

@@ -16,7 +16,37 @@ no data-dependent control flow.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_IKEY_BASE = 0x3E800000  # bitcast(0.25f)
+_IKEY_FLOOR = 0.25  # keys clamp here first: sub-floor values tie -> index
+_DNF_KEY_BASE = 2_100_000_000
+
+
+def rank_by_unique(keys: jnp.ndarray, dnf: jnp.ndarray | None = None) -> jnp.ndarray:
+    """`rank_by` for non-negative f32 time keys, ~2.5x cheaper.
+
+    Builds strictly-unique int32 keys via the monotone f32 bit pattern —
+    ((bitcast(max(k, 0.25)) - bitcast(0.25)) >> 2) * 32 + index — so the
+    pairwise comparison needs ONE compare instead of the three-op
+    lexicographic tie-break (the (..., D, D) comparison tensor is the lap
+    step's largest intermediate). Exact f32 ties, pairs within 4 ULP
+    (≈4 ms at race scale), and values below 0.25 s arbitrate by index —
+    the same arbitration `rank_by` applies to exact ties, validated against
+    the native oracle at 262k sims (sub-noise-floor TV; mirrors
+    ops/pallas_engine.rank_key). Exact-ordering domain: [0.25, ~1.7e6) s
+    (`run_monte_carlo_pallas` guards the shared upper bound host-side).
+    `dnf` marks cars that sort last (distinct keys)."""
+    d = keys.shape[-1]
+    idx = jnp.arange(d, dtype=jnp.int32)
+    bits = jax.lax.bitcast_convert_type(jnp.maximum(keys, _IKEY_FLOOR), jnp.int32)
+    ikey = ((bits - _IKEY_BASE) >> 2) * 32 + idx
+    if dnf is not None:
+        ikey = jnp.where(dnf, _DNF_KEY_BASE + idx, ikey)
+    a = ikey[..., :, None]
+    b = ikey[..., None, :]
+    return jnp.sum(b < a, axis=-1, dtype=jnp.int32)
 
 
 def rank_by(keys: jnp.ndarray) -> jnp.ndarray:
