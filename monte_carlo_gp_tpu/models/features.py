@@ -105,6 +105,10 @@ class F1FeatureEngine:
         if self._tables is not None:
             return self._tables
         t: dict = {}
+        if not self.race_results.empty:
+            t["results_by_driver"] = {
+                d: grp for d, grp in self.race_results.groupby("driver", sort=False)
+            }
         laps = self.laps
         if laps.empty or "Driver" not in laps.columns:
             self._tables = t
@@ -137,7 +141,7 @@ class F1FeatureEngine:
             gr = r.groupby(["Driver", "season", "circuit"])
             t["r_median"] = gr["LapTime"].median()
             t["r_nlaps"] = gr["LapTime"].count()
-            t["deg_slopes"] = gr.apply(_session_deg_slope, include_groups=False)
+            t["deg_slopes"] = _deg_slopes_all(r)
         # qualifying bests pivoted per event (teammate comparisons) and the
         # driver -> team map
         q = laps[laps["session_type"] == "Q"]
@@ -160,10 +164,56 @@ class F1FeatureEngine:
         lt = laps.dropna(subset=["LapTime"])
         t["drv_lap_sum"] = lt.groupby("Driver")["LapTime"].sum()
         t["drv_lap_n"] = lt.groupby("Driver")["LapTime"].count()
-        shorts = lt["circuit"].map(_short_name)
+        # map unique names once, not per lap row (~40k rows per rebuild)
+        shorts = lt["circuit"].map(
+            {c: _short_name(c) for c in lt["circuit"].unique()}
+        )
         g_short = lt.groupby(["Driver", shorts])
         t["drv_circuit_sum"] = g_short["LapTime"].sum()
         t["drv_circuit_n"] = g_short["LapTime"].count()
+
+        # ---- whole-field tables (one pass instead of per-driver rescans) ---
+        # The walk-forward backtest rebuilds the archive per race; computing
+        # these per driver made feature prep the dominant host cost
+        # (profiled: _teammate_delta 34s + _quali_gaps 36s per 20-race
+        # season). Values are bit-compatible with the per-driver formulas
+        # (same float64 ops over the same sets; only summation order may
+        # differ) — guarded by tests/test_reference_ab.py field-by-field.
+        if "q_best_pivot" in t:
+            pivot = t["q_best_pivot"]
+            session_best = pivot.min(axis=1)
+            t["q_gaps_pivot"] = (
+                pivot.sub(session_best, axis=0).div(session_best, axis=0) * 100.0
+            )
+            if "q_team_pivot" in t:
+                teams = t["q_team_pivot"].reindex(columns=pivot.columns)
+                v = pivot.to_numpy(float)  # (events, drivers)
+                team = teams.to_numpy(object)
+                valid = ~np.isnan(v)
+                # same_team[e, i, j]: NaN teams compare False, covering the
+                # reference's my_team.notna() guard (features.py:159-181)
+                same_team = team[:, :, None] == team[:, None, :]
+                ok = (
+                    valid[:, :, None]
+                    & valid[:, None, :]
+                    & (np.nan_to_num(v[:, None, :]) > 0)
+                    & same_team
+                    & ~np.eye(v.shape[1], dtype=bool)[None]
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    delta = (v[:, None, :] - v[:, :, None]) / v[:, None, :] * 100.0
+                sums = np.where(ok, delta, 0.0).sum(axis=(0, 2))
+                counts = ok.sum(axis=(0, 2))
+                t["teammate_delta_all"] = {
+                    d: float(sums[i] / counts[i]) if counts[i] else 0.0
+                    for i, d in enumerate(pivot.columns)
+                }
+        if "r_median" in t:
+            med = t["r_median"][t["r_nlaps"] >= 5]
+            if not med.empty:
+                lead = med.groupby(level=[1, 2]).transform("min")
+                delta = ((med - lead) / lead * 100.0)[lead > 0]
+                t["race_pace_by_driver"] = delta.groupby(level=0).mean()
         self._tables = t
         return t
 
@@ -233,20 +283,12 @@ class F1FeatureEngine:
     # -- qualifying features ----------------------------------------------------
 
     def _quali_gaps(self, driver: str) -> pd.Series:
-        """Per-Q-session percentage gap of driver's best lap to session best."""
+        """Per-Q-session percentage gap of driver's best lap to session best
+        ((season, circuit)-ordered). Sliced from the whole-field pivot."""
         t = self._t()
-        if not t:
+        if not t or "q_gaps_pivot" not in t or driver not in t["q_gaps_pivot"].columns:
             return pd.Series(dtype=float)
-        best = t["drv_session_best"]
-        if driver not in best.index.get_level_values(0):
-            return pd.Series(dtype=float)
-        drv = best.loc[driver]
-        drv = drv[drv.index.get_level_values("session_type") == "Q"]
-        if drv.empty:
-            return pd.Series(dtype=float)
-        session_best = t["session_best"].loc[drv.index]
-        gaps = (drv - session_best) / session_best * 100.0
-        return gaps.dropna()
+        return t["q_gaps_pivot"][driver].dropna()
 
     def _gap_to_pole(self, driver: str) -> float:
         """Mean % gap to pole in qualifying. Reference stubs this to 1.0 with
@@ -261,31 +303,12 @@ class F1FeatureEngine:
         (features.py:135-185 intent; see module docstring on the reference's
         dead-code form). Positive = faster than teammate. Teammates are
         matched per event, so team changes between seasons compare against
-        the right car in each season."""
+        the right car in each season. Computed for the whole field at once
+        in `_t()` ('teammate_delta_all')."""
         t = self._t()
-        if not t or "q_best_pivot" not in t or "q_team_pivot" not in t:
+        if not t or "teammate_delta_all" not in t:
             return 0.0
-        pivot = t["q_best_pivot"]
-        teams = t["q_team_pivot"]
-        if driver not in pivot.columns or driver not in teams.columns:
-            return 0.0
-        mine = pivot[driver]
-        my_team = teams[driver]
-        deltas = []
-        for mate in pivot.columns:
-            if mate == driver or mate not in teams.columns:
-                continue
-            theirs = pivot[mate]
-            ok = (
-                mine.notna() & theirs.notna() & (theirs > 0)
-                & my_team.notna() & (teams[mate] == my_team)
-            )
-            if ok.any():
-                deltas.append(((theirs[ok] - mine[ok]) / theirs[ok] * 100.0))
-        if not deltas:
-            return 0.0
-        stacked = pd.concat(deltas)
-        return float(stacked.mean()) if not stacked.empty else 0.0
+        return t["teammate_delta_all"].get(driver, 0.0)
 
     def _circuit_affinity(self, driver: str, circuit: str) -> float:
         """Mean lap time at this circuit type vs overall, normalized and
@@ -391,21 +414,12 @@ class F1FeatureEngine:
 
     def _race_pace(self, driver: str) -> float:
         """Mean % gap of driver's median race lap to the fastest qualifying
-        (>=5 laps) median in each race (features.py:396-446)."""
+        (>=5 laps) median in each race (features.py:396-446). Whole-field
+        table precomputed in `_t()`."""
         t = self._t()
-        if not t or "r_median" not in t:
+        if not t or "race_pace_by_driver" not in t:
             return 0.0
-        med = t["r_median"][t["r_nlaps"] >= 5]
-        if med.empty or driver not in med.index.get_level_values(0):
-            return 0.0
-        leader = med.groupby(level=[1, 2]).min()
-        drv = med.loc[driver]
-        deltas = []
-        for (season, circuit), mine in drv.items():
-            lead = leader.get((season, circuit))
-            if lead and lead > 0:
-                deltas.append((mine - lead) / lead * 100.0)
-        return float(np.mean(deltas)) if deltas else 0.0
+        return float(t["race_pace_by_driver"].get(driver, 0.0))
 
     def _deg_rate(self, driver: str) -> float:
         """Linear lap-time slope per race session, outliers ±10s of median
@@ -424,9 +438,10 @@ class F1FeatureEngine:
         return float(np.clip(drv.mean(), 0.01, 0.15))
 
     def _driver_results(self, driver: str) -> pd.DataFrame:
-        if self.race_results.empty:
+        by_driver = self._t().get("results_by_driver")
+        if not by_driver:
             return pd.DataFrame()
-        return self.race_results[self.race_results["driver"] == driver]
+        return by_driver.get(driver, self.race_results.iloc[0:0])
 
     def _overtake_rate(self, driver: str) -> float:
         """Mean grid - finish (features.py:492-514)."""
@@ -579,13 +594,11 @@ class F1FeatureEngine:
         }
 
 
-def _session_deg_slope(grp: pd.DataFrame) -> float:
-    """Degradation slope of one driver-race-session (features.py:463-486):
-    needs >=10 valid laps, drops laps beyond ±10s of the session median,
-    linear fit over the surviving original lap indices."""
-    if "LapNumber" in grp.columns:
-        grp = grp.sort_values("LapNumber")
-    secs = grp["LapTime"].dropna().to_numpy()
+def _session_deg_slope(secs: np.ndarray) -> float:
+    """Degradation slope of one driver-race-session's LapNumber-ordered
+    valid lap times (features.py:463-486): needs >=10 valid laps, drops laps
+    beyond ±10s of the session median, linear fit over the surviving
+    original lap indices."""
     if len(secs) < 10:
         return np.nan
     med = np.median(secs)
@@ -596,6 +609,36 @@ def _session_deg_slope(grp: pd.DataFrame) -> float:
     return float(np.polyfit(idx.astype(float), secs[keep], 1)[0])
 
 
+def _deg_slopes_all(r: pd.DataFrame) -> pd.Series:
+    """Per-(Driver, season, circuit) degradation slopes for the whole race
+    archive in one pass. Replaces groupby.apply (whose per-group frame
+    construction was the single largest table-build cost — the walk-forward
+    backtest rebuilds these tables every race): one global sort, group
+    boundaries by code changes, then the identical numpy math per group."""
+    keys = ["Driver", "season", "circuit"]
+    cols = keys + (["LapNumber"] if "LapNumber" in r.columns else [])
+    rr = r.dropna(subset=["LapTime"]).sort_values(cols, kind="stable")
+    if rr.empty:
+        return pd.Series(dtype=float)
+    idx = pd.MultiIndex.from_frame(rr[keys])
+    # group id per row: increments whenever any key column changes
+    codes = np.stack([np.asarray(c) for c in idx.codes])
+    change = np.any(codes[:, 1:] != codes[:, :-1], axis=0)
+    bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(rr)]])
+    vals = rr["LapTime"].to_numpy(float)
+    out_index, out_vals = [], []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        out_index.append(idx[a])
+        out_vals.append(_session_deg_slope(vals[a:b]))
+    return pd.Series(
+        out_vals, index=pd.MultiIndex.from_tuples(out_index, names=keys)
+    )
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=512)
 def _short_name(event: str) -> str:
     """'Bahrain Grand Prix' -> 'Bahrain' (match against config.CIRCUITS)."""
     low = event.lower()

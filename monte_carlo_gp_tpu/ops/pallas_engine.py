@@ -564,12 +564,17 @@ def _check_rank_key_domain(params: SimParams, total_laps: int) -> None:
     """Host-side guard for the kernel's int32 rank keys: live keys must stay
     below the 2.1e9 DNF sentinel, which holds while cumulative time stays
     under ~1.7e6 s. Bound the worst plausible cum by (slowest base pace +
-    compound/pit/noise slack) * laps. Skipped under tracing (values already
-    validated at the first concrete call)."""
+    compound/pit/noise slack) * laps.
+
+    Runs ONLY on host-resident numpy values: for device arrays (the normal
+    case — `make_sim_params` already validated the values before moving them
+    on-device) or tracers, reading the value back would cost a device->host
+    round-trip per call, which on the remote-TPU tunnel measured ~6 s each
+    and dominated the whole backtest."""
     base = params.base_pace
-    if isinstance(base, jax.core.Tracer):
+    if not isinstance(base, np.ndarray):
         return
-    worst_lap = float(np.max(np.asarray(base))) + 100.0
+    worst_lap = float(np.max(base)) + 100.0
     if worst_lap * (total_laps + 1) > 1.5e6:
         raise ValueError(
             f"base_pace up to {worst_lap - 100:.3g}s over {total_laps} laps "

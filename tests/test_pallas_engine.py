@@ -56,16 +56,20 @@ def test_rejects_bad_tile_split():
 
 
 def test_rejects_rank_key_domain_overflow():
-    """Cumulative times beyond ~1.5e6 s would wrap the kernel's int32 rank
-    keys; the host-side guard must reject such configurations up front."""
-    import dataclasses
-
-    params = small_params()
-    bad = dataclasses.replace(
-        params, base_pace=jax.numpy.full((8,), 1e6, jax.numpy.float32)
-    )
+    """Cumulative times beyond ~1.5e6 s would wrap the engines' int32 rank
+    keys; validation happens at SimParams construction (host-side numpy —
+    checking device arrays would cost a tunnel round-trip per call)."""
+    d = 8
+    gp = np.eye(d, dtype=np.float32)
     with pytest.raises(ValueError, match="rank-key domain"):
-        run_monte_carlo_pallas(bad, jax.random.PRNGKey(0), 128, 12, sims_per_tile=128)
+        make_sim_params(
+            grid_probs=gp,
+            base_pace=np.full(d, 1e6),
+            tire_deg=np.full(d, 0.05),
+            variance=np.full(d, 0.15),
+            dnf_rate=np.full(d, 0.001),
+            team_dnf_rate=np.full(d, 0.002),
+        )
 
 
 @pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires real TPU")
