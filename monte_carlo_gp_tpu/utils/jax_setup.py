@@ -12,17 +12,29 @@ from __future__ import annotations
 from pathlib import Path
 
 
-def enable_persistent_compilation_cache(cache_dir: str | Path) -> None:
-    """Point JAX's persistent compilation cache at <cache_dir>/jax_compilation.
+def enable_persistent_compilation_cache(cache_dir: str | Path | None = None) -> None:
+    """Ensure JAX's persistent compilation cache is active.
+
+    The package __init__ already points the cache at ~/.cache/mcgp_jax
+    (override with MCGP_COMPILE_CACHE); this keeps ONE machine-wide cache
+    shared by the CLIs, the library, and the benchmark, so every lap-bucket
+    program compiles once per machine. `cache_dir` is accepted for
+    compatibility but no longer redirects the cache — per-run directories
+    fragmented it and left big entries cold.
 
     Safe to call multiple times; silently ignores unsupported jax versions.
     """
+    import os
+
     import jax
 
-    path = Path(cache_dir) / "jax_compilation"
-    path.mkdir(parents=True, exist_ok=True)
+    del cache_dir
     try:
-        jax.config.update("jax_compilation_cache_dir", str(path))
+        target = os.environ.get("MCGP_COMPILE_CACHE", "")
+        if target != "0":
+            path = Path(target or os.path.expanduser("~/.cache/mcgp_jax"))
+            path.mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", str(path))
         # Cache everything that took meaningful compile time.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
