@@ -248,19 +248,27 @@ def make_sim_params(
     co = np.array([compounds[n]["optimal_laps"] for n in COMPOUND_NAMES], np.int32)
     if isinstance(track_condition, str):
         track_condition = TRACK_CONDITIONS[track_condition]
-    base_np = np.asarray(base_pace)
+    base_np = np.asarray(base_pace, float)
     d = base_np.shape[0]
-    # Engine rank keys are int32-bitcast cumulative times: the exactly-
-    # ordered domain ends at ~1.7e6 s (ops/ranking.rank_by_unique,
-    # ops/pallas_engine.rank_key). Validate HERE, where values are still
+    # Engine rank keys are int32-bitcast cumulative times whose injective
+    # domain ends at ~5e8 s (ops/ranking.rank_by_unique,
+    # ops/pallas_engine.rank_key); capping lap pace at 15,000 s keeps any
+    # plausible race (even thousands of laps) far inside it. NaN pace would
+    # bitcast to an out-of-domain key and silently corrupt ranks, so
+    # finiteness is validated too. Validate HERE, where values are still
     # host-resident numpy — reading a device array back over the remote-TPU
     # tunnel costs seconds per call.
-    if base_np.size and float(base_np.max()) > 15_000.0:
-        raise ValueError(
-            f"base_pace up to {float(base_np.max()):.3g}s/lap exceeds the "
-            "engines' rank-key domain (cumulative race time must stay under "
-            "~1.5e6 s; real lap times are ~60-120 s)"
-        )
+    if base_np.size:
+        if not np.all(np.isfinite(base_np)):
+            raise ValueError(
+                "base_pace must be finite (a NaN/inf lap pace would corrupt "
+                "the engines' bitcast rank keys)"
+            )
+        if float(base_np.max()) > 15_000.0:
+            raise ValueError(
+                f"base_pace up to {float(base_np.max()):.3g}s/lap exceeds "
+                "the engines' rank-key domain (real lap times are ~60-120 s)"
+            )
     if active is None:
         active = np.ones((d,), bool)
     f32 = lambda x: jnp.asarray(x, jnp.float32)

@@ -211,6 +211,7 @@ class F1DataLoader:
         self.offline = offline
         self._memo: dict[tuple, pd.DataFrame] = {}
         self._now = now or pd.Timestamp.now(tz="UTC")
+        self._strict_clock = False  # set by set_now (walk-forward pinning)
         if backend is not None:
             self.backend = backend
         elif offline:
@@ -233,11 +234,19 @@ class F1DataLoader:
         predicted, eliminating look-ahead leakage when backtesting a season
         that has already completed in wall-clock time. Session-level loads
         (`load_session`, `load_results`, `get_weather`) are clock-free; only
-        schedule filtering changes, so memoized session data stays valid."""
+        schedule filtering changes, so memoized session data stays valid.
+
+        Pinning also switches `past_events` to STRICT mode: events with a
+        missing date can no longer be ordered against the pinned clock, so
+        they are excluded rather than included (an included dateless race
+        would leak its results into Elo/features for every race of the
+        backtest — its actuals still flow through the explicit walk-forward
+        updates)."""
         now = pd.to_datetime(now)
         if now.tzinfo is None:
             now = now.tz_localize("UTC")
         self._now = now
+        self._strict_clock = True
 
     # -- core loads ----------------------------------------------------------
 
@@ -310,7 +319,11 @@ class F1DataLoader:
         return events or []
 
     def past_events(self, season: int) -> list[dict]:
-        """Non-testing events whose date has passed (data_loader.py:48-60)."""
+        """Non-testing events whose date has passed (data_loader.py:48-60).
+
+        Dateless (NaT) events pass the filter in normal operation (reference
+        parity) but are EXCLUDED once the clock has been pinned via
+        `set_now` — see there."""
         out = []
         for ev in self.get_schedule(season):
             if str(ev.get("EventFormat", "")) == "testing":
@@ -322,6 +335,8 @@ class F1DataLoader:
                     date = date.tz_localize("UTC")
                 if date > self._now:
                     continue
+            elif getattr(self, "_strict_clock", False):
+                continue
             out.append(ev)
         return out
 

@@ -113,12 +113,8 @@ class F1FeatureEngine:
         if laps.empty or "Driver" not in laps.columns:
             self._tables = t
             return t
-        g_session = laps.groupby(SESSION_KEY)
         g_drv_session = laps.groupby(["Driver"] + SESSION_KEY)
-        t["session_best"] = g_session["LapTime"].min()
-        t["drv_session_best"] = g_drv_session["LapTime"].min()
         t["drv_session_nlaps"] = g_drv_session.size()
-        t["drv_session_mean"] = g_drv_session["LapTime"].mean()
         # Event-level tables (season, circuit), combining Q+R sessions — the
         # reference groups `self.laps` by (season, circuit) for sector
         # strength, wet performance and temp sensitivity (features.py:292,

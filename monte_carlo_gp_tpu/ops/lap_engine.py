@@ -449,7 +449,7 @@ def classify(cars: Cars) -> jax.Array:
     """Final 1-indexed positions (reference simulation.py:230-242):
     finishers by cumulative time, then DNFs by (retirement lap, cumulative
     time) descending. Runs once per race, so it keeps the EXACT
-    (value, index)-lexicographic rank rather than the 2-ULP-quantized
+    (value, index)-lexicographic rank rather than the 4-ULP-quantized
     fast path used per lap."""
     active_rank = rank_by(jnp.where(cars.dnf, INF_TIME, cars.cum_time))
     n_active = jnp.sum(~cars.dnf, axis=-1, keepdims=True)

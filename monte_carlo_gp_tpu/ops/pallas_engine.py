@@ -137,10 +137,12 @@ def _race_kernel(total_laps: int, d: int, s: int):
     #
     # bitcast(f32) is strictly monotone for non-negative floats, so
     #   ((bitcast(max(cum, 0.25)) - bitcast(0.25)) >> 2) * 32 + row
-    # orders by (cum quantized to 4 ULP, row index) in int32. Live keys stay
-    # below the 2.1e9 DNF sentinel for cum < ~1.7e6 s (guarded host-side in
-    # run_monte_carlo_pallas; real races are ~5e3 s), and the 0.25 s floor
-    # keeps tiny/zero times in-domain (sub-floor values tie -> index).
+    # orders by (cum quantized to 4 ULP, row index) in int32 for up to 32
+    # rows (guarded in run_monte_carlo_pallas). Live keys stay below the
+    # 2.1e9 DNF sentinel for cum < ~5e8 s (make_sim_params caps lap pace at
+    # 15,000 s, keeping any plausible race orders of magnitude inside), and
+    # the 0.25 s floor keeps tiny/zero times in-domain (sub-floor values
+    # tie -> index).
     # Pairs distinct-but-within-4-ULP (milliseconds at race scale) arbitrate
     # by index instead of value — the same arbitration applied to exact
     # ties, far inside measurement noise (validated vs the native oracle at
@@ -560,29 +562,6 @@ def _pallas_counts(
     return call()
 
 
-def _check_rank_key_domain(params: SimParams, total_laps: int) -> None:
-    """Host-side guard for the kernel's int32 rank keys: live keys must stay
-    below the 2.1e9 DNF sentinel, which holds while cumulative time stays
-    under ~1.7e6 s. Bound the worst plausible cum by (slowest base pace +
-    compound/pit/noise slack) * laps.
-
-    Runs ONLY on host-resident numpy values: for device arrays (the normal
-    case — `make_sim_params` already validated the values before moving them
-    on-device) or tracers, reading the value back would cost a device->host
-    round-trip per call, which on the remote-TPU tunnel measured ~6 s each
-    and dominated the whole backtest."""
-    base = params.base_pace
-    if not isinstance(base, np.ndarray):
-        return
-    worst_lap = float(np.max(base)) + 100.0
-    if worst_lap * (total_laps + 1) > 1.5e6:
-        raise ValueError(
-            f"base_pace up to {worst_lap - 100:.3g}s over {total_laps} laps "
-            "exceeds the Pallas rank-key domain (cumulative time must stay "
-            "under ~1.5e6 s); use the XLA engine for such configurations"
-        )
-
-
 def run_monte_carlo_pallas(
     params: SimParams,
     key: jax.Array,
@@ -606,7 +585,11 @@ def run_monte_carlo_pallas(
         raise ValueError(
             f"n_sims={n_sims} must be a multiple of sims_per_tile={sims_per_tile}"
         )
-    _check_rank_key_domain(params, total_laps)
+    if params.n_drivers > 32:
+        raise ValueError(
+            "the fused kernel's rank keys pack *32+row (rank_key): driver "
+            "axis is limited to 32; use the XLA engine for larger fields"
+        )
     return _run_pallas_jit(
         params, key, n_sims, total_laps, sims_per_tile, interpret, race_laps
     )
@@ -716,7 +699,11 @@ def run_monte_carlo_pallas_sharded(
         raise ValueError(
             f"n_sims={n_sims} must be a multiple of sims_per_tile={sims_per_tile}"
         )
-    _check_rank_key_domain(params, total_laps)
+    if params.n_drivers > 32:
+        raise ValueError(
+            "the fused kernel's rank keys pack *32+row (rank_key): driver "
+            "axis is limited to 32; use the XLA engine for larger fields"
+        )
     if mesh is None:
         from monte_carlo_gp_tpu.parallel.mesh import make_mesh
 

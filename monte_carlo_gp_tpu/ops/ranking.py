@@ -35,10 +35,16 @@ def rank_by_unique(keys: jnp.ndarray, dnf: jnp.ndarray | None = None) -> jnp.nda
     (≈4 ms at race scale), and values below 0.25 s arbitrate by index —
     the same arbitration `rank_by` applies to exact ties, validated against
     the native oracle at 262k sims (sub-noise-floor TV; mirrors
-    ops/pallas_engine.rank_key). Exact-ordering domain: [0.25, ~1.7e6) s
-    (`run_monte_carlo_pallas` guards the shared upper bound host-side).
-    `dnf` marks cars that sort last (distinct keys)."""
+    ops/pallas_engine.rank_key). Exact-ordering domain: [0.25, ~5e8) s —
+    make_sim_params caps lap pace at 15,000 s, keeping any plausible race
+    orders of magnitude inside. `dnf` marks cars that sort last (distinct
+    keys)."""
     d = keys.shape[-1]
+    if d > 32:
+        # the *32+index packing is only injective for <=32 rows; rare
+        # oversize fields take the exact lexicographic path instead
+        masked = keys if dnf is None else jnp.where(dnf, jnp.float32(1e30), keys)
+        return rank_by(masked)
     idx = jnp.arange(d, dtype=jnp.int32)
     bits = jax.lax.bitcast_convert_type(jnp.maximum(keys, _IKEY_FLOOR), jnp.int32)
     ikey = ((bits - _IKEY_BASE) >> 2) * 32 + idx

@@ -33,7 +33,11 @@ def enable_persistent_compilation_cache(cache_dir: str | Path | None = None) -> 
         target = os.environ.get("MCGP_COMPILE_CACHE", "")
         if target != "0":
             path = Path(target or os.path.expanduser("~/.cache/mcgp_jax"))
-            path.mkdir(parents=True, exist_ok=True)
+            try:
+                path.mkdir(parents=True, exist_ok=True)
+            except OSError:
+                # read-only $HOME etc. — run uncached rather than crash
+                return
             jax.config.update("jax_compilation_cache_dir", str(path))
         # Cache everything that took meaningful compile time.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -127,10 +127,12 @@ def test_backtest_feature_archive_no_leak(tmp_path):
         assert {c for (s, c) in archive_snaps[k] if s == SEASON - 1} == set(races)
 
 
-def test_cutoffs_backfill_dateless_events():
-    """A NaT EventDate must NOT silently unpin the clock (that would
-    reintroduce the season leak): dateless events back-fill from the nearest
-    earlier cutoff, a dateless opener from the season's Jan 1."""
+def test_dateless_events_cannot_leak_under_pinned_clock(tmp_path):
+    """A NaT EventDate must NOT silently unpin the clock or slip past it:
+    (a) cutoffs back-fill from the nearest earlier cutoff (dateless opener:
+    the season's Jan 1), and (b) once the clock is pinned, `past_events`
+    EXCLUDES dateless events entirely — an included one would leak its
+    results into every race's Elo/feature inputs."""
     import pandas as pd
 
     from monte_carlo_gp_tpu.data.loader import F1DataLoader
@@ -158,11 +160,20 @@ def test_cutoffs_backfill_dateless_events():
         {"EventName": "B", "EventFormat": "conventional", "EventDate": d1},
         {"EventName": "C", "EventFormat": "conventional", "EventDate": pd.NaT},
     ]
-    loader = F1DataLoader(cache_dir="/tmp/unused_cutoffs", backend=Sched(events))
+    loader = F1DataLoader(cache_dir=tmp_path, backend=Sched(events))
     cutoffs = _race_cutoffs(loader, 2024)
     assert cutoffs[0] == pd.Timestamp("2024-01-01", tz="UTC")
     assert cutoffs[1] == d1 - pd.Timedelta(seconds=1)
     assert cutoffs[2] == cutoffs[1]  # back-fill, never forward
+
+    # normal (wall-clock) operation keeps dateless events — reference parity
+    assert [e["EventName"] for e in loader.past_events(2024)] == ["A", "B", "C"]
+    # pinned clock: dateless events are excluded from everything derived
+    # from past_events (Elo season builds, feature archives)
+    loader.set_now(cutoffs[1])
+    assert [e["EventName"] for e in loader.past_events(2024)] == []
+    loader.set_now(d1 + pd.Timedelta(days=1))
+    assert [e["EventName"] for e in loader.past_events(2024)] == ["B"]
 
 
 @pytest.mark.slow
