@@ -58,6 +58,10 @@ class F1FeatureEngine:
         self.race_results = pd.DataFrame()
         self._tables: dict | None = None
         self.reference_compat = reference_compat
+        # per-(season, event, session) annotated frames: event data is
+        # immutable, so walk-forward rebuilds (one per race) only annotate
+        # events they have not seen before
+        self._annotated: dict[tuple, pd.DataFrame] = {}
 
     # -- loading (reference features.py:16-72) --------------------------------
 
@@ -68,26 +72,34 @@ class F1FeatureEngine:
             for ev in self.loader.past_events(season):
                 name = ev["EventName"]
                 for session_type in ("Q", "R"):
-                    laps = self.loader.load_session(season, name, session_type)
-                    if laps.empty:
-                        continue
-                    laps = laps.copy()
-                    laps["season"] = season
-                    laps["circuit"] = name
-                    laps["session_type"] = session_type
-                    all_laps.append(laps)
-                res = self.loader.load_results(season, name, "R")
-                if res is not None and not res.empty:
-                    res = res.rename(
-                        columns={
-                            "Abbreviation": "driver",
-                            "GridPosition": "grid",
-                            "Position": "finish",
-                            "Status": "status",
-                        }
-                    )[["driver", "grid", "finish", "status"]].copy()
-                    res["season"] = season
-                    res["circuit"] = name
+                    key = ("laps", season, name, session_type)
+                    cached = self._annotated.get(key)
+                    if cached is None:
+                        laps = self.loader.load_session(season, name, session_type)
+                        if laps.empty:
+                            continue
+                        cached = laps.assign(
+                            season=season, circuit=name, session_type=session_type
+                        )
+                        self._annotated[key] = cached
+                    all_laps.append(cached)
+                key = ("results", season, name)
+                res = self._annotated.get(key)
+                if res is None:
+                    raw = self.loader.load_results(season, name, "R")
+                    if raw is not None and not raw.empty:
+                        res = raw.rename(
+                            columns={
+                                "Abbreviation": "driver",
+                                "GridPosition": "grid",
+                                "Position": "finish",
+                                "Status": "status",
+                            }
+                        )[["driver", "grid", "finish", "status"]].assign(
+                            season=season, circuit=name
+                        )
+                        self._annotated[key] = res
+                if res is not None:
                     all_results.append(res)
         self.laps = (
             pd.concat(all_laps, ignore_index=True) if all_laps else pd.DataFrame()
@@ -210,6 +222,58 @@ class F1FeatureEngine:
                 lead = med.groupby(level=[1, 2]).transform("min")
                 delta = ((med - lead) / lead * 100.0)[lead > 0]
                 t["race_pace_by_driver"] = delta.groupby(level=0).mean()
+        # sector strengths: per sector, % advantage vs event best, mean per
+        # driver, clipped ±1 (whole field at once)
+        for col in ("Sector1Time", "Sector2Time", "Sector3Time"):
+            if ("drv_event_best_" + col) not in t:
+                continue
+            pivot = t["drv_event_best_" + col].unstack(0)
+            sb = t["event_best_" + col]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                deltas = (-pivot.sub(sb, axis=0)).div(sb, axis=0) * 100.0
+            out = {}
+            for drv in pivot.columns:
+                v = deltas[drv].dropna().to_numpy()
+                v = v[np.isfinite(v)]
+                out[drv] = float(np.clip(v.mean(), -1.0, 1.0)) if v.size else 0.0
+            t["sector_strength_" + col] = out
+        # wet performance and temp sensitivity share the event-gap pivot
+        drv_ev = t["drv_event_best"].unstack(0)
+        ev_best = t["event_best"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gaps_ev = drv_ev.sub(ev_best, axis=0).div(ev_best, axis=0) * 100.0
+        if "session_wet" in t:
+            wet = t["session_wet"].reindex(gaps_ev.index).fillna(False).to_numpy(bool)
+            out = {}
+            for drv in gaps_ev.columns:
+                g = gaps_ev[drv].to_numpy()
+                ok = ~np.isnan(g)
+                wg, dg = g[ok & wet], g[ok & ~wet]
+                out[drv] = (
+                    float(np.clip(dg.mean() - wg.mean(), -1.0, 1.0))
+                    if wg.size and dg.size
+                    else 0.0
+                )
+            t["wet_performance_all"] = out
+        if "event_temp" in t:
+            temps = t["event_temp"].reindex(gaps_ev.index).to_numpy(float)
+            sb = ev_best.reindex(gaps_ev.index).to_numpy(float)
+            out = {}
+            for drv in gaps_ev.columns:
+                g = gaps_ev[drv].to_numpy(float)
+                ok = ~np.isnan(g) & ~np.isnan(temps) & (sb > 0)
+                gk, tk = g[ok], temps[ok]
+                if len(gk) < 5 or tk.std() < 5:
+                    out[drv] = 0.001
+                else:
+                    slope = np.polyfit(tk, gk, 1)[0]
+                    out[drv] = float(np.clip(slope / 100.0, 0.0, 0.005))
+            t["temp_sensitivity_all"] = out
+        # Q3-rate heuristic: share of Q sessions with >=3 laps per driver
+        n = t["drv_session_nlaps"]
+        qn = n[n.index.get_level_values("session_type") == "Q"]
+        if not qn.empty:
+            t["q3_rate_all"] = (qn >= 3).groupby(level=0).mean().to_dict()
         self._tables = t
         return t
 
@@ -357,18 +421,11 @@ class F1FeatureEngine:
 
     def _q3_rate(self, driver: str) -> float:
         """Share of Q sessions with >=3 laps — the reference's Q3 heuristic
-        (features.py:236-259)."""
+        (features.py:236-259). Whole-field table from `_t()`."""
         t = self._t()
-        if not t:
+        if not t or "q3_rate_all" not in t:
             return 0.5
-        n = t["drv_session_nlaps"]
-        if driver not in n.index.get_level_values(0):
-            return 0.5
-        drv = n.loc[driver]
-        drv = drv[drv.index.get_level_values("session_type") == "Q"]
-        if drv.empty:
-            return 0.5
-        return float((drv >= 3).mean())
+        return float(t["q3_rate_all"].get(driver, 0.5))
 
     def _sector_strength(self, driver: str, sector_type: str) -> float:
         """% advantage vs session best in the mapped sector, mean over all
@@ -379,20 +436,9 @@ class F1FeatureEngine:
             "traction": "Sector3Time",
         }.get(sector_type, "Sector1Time")
         t = self._t()
-        if not t or ("drv_event_best_" + col) not in t:
+        if not t or ("sector_strength_" + col) not in t:
             return 0.0
-        best = t["drv_event_best_" + col]
-        if driver not in best.index.get_level_values(0):
-            return 0.0
-        drv = best.loc[driver].dropna()
-        if drv.empty:
-            return 0.0
-        session_best = t["event_best_" + col].loc[drv.index]
-        deltas = ((session_best - drv) / session_best * 100.0).dropna()
-        deltas = deltas[np.isfinite(deltas)]
-        if deltas.empty:
-            return 0.0
-        return float(np.clip(deltas.mean(), -1.0, 1.0))
+        return t["sector_strength_" + col].get(driver, 0.0)
 
     def _form_score(self, driver: str, decay: float = 0.85) -> float:
         """Exponential-decay weighted recent qualifying form in [-1, 1]
@@ -503,26 +549,9 @@ class F1FeatureEngine:
         """Gap-to-session-best difference, dry minus wet sessions, clamped ±1
         (features.py:626-685). Positive = relatively faster in the wet."""
         t = self._t()
-        if not t or "session_wet" not in t:
+        if not t or "wet_performance_all" not in t:
             return 0.0
-        best = t["drv_event_best"]
-        if driver not in best.index.get_level_values(0):
-            return 0.0
-        drv = best.loc[driver].dropna()
-        if drv.empty:
-            return 0.0
-        session_best = t["event_best"].loc[drv.index]
-        gaps = ((drv - session_best) / session_best * 100.0).dropna()
-        wet_flag = t["session_wet"]
-        wet_gaps, dry_gaps = [], []
-        for (season, circuit), gap in gaps.items():
-            if wet_flag.get((season, circuit), False):
-                wet_gaps.append(gap)
-            else:
-                dry_gaps.append(gap)
-        if not wet_gaps or not dry_gaps:
-            return 0.0
-        return float(np.clip(np.mean(dry_gaps) - np.mean(wet_gaps), -1.0, 1.0))
+        return t["wet_performance_all"].get(driver, 0.0)
 
     def _team_trend(self, driver: str, recent_races: int = 5) -> float:
         """Last-5 vs earlier-season average finish, normalized /10, clamped
@@ -544,23 +573,9 @@ class F1FeatureEngine:
         """Slope of gap% vs session track temperature, /100, clamped
         [0, 0.005] (features.py:730-786)."""
         t = self._t()
-        if not t or "event_temp" not in t:
+        if not t or "temp_sensitivity_all" not in t:
             return 0.001
-        best = t["drv_event_best"]
-        if driver not in best.index.get_level_values(0):
-            return 0.001
-        drv = best.loc[driver].dropna()
-        if drv.empty:
-            return 0.001
-        session_best = t["event_best"].loc[drv.index]
-        temps = t["event_temp"].loc[drv.index]
-        gaps = ((drv - session_best) / session_best * 100.0)
-        ok = gaps.notna() & temps.notna() & (session_best > 0)
-        gaps, temps = gaps[ok].to_numpy(), temps[ok].to_numpy()
-        if len(gaps) < 5 or temps.std() < 5:
-            return 0.001
-        slope = np.polyfit(temps, gaps, 1)[0]
-        return float(np.clip(slope / 100.0, 0.0, 0.005))
+        return t["temp_sensitivity_all"].get(driver, 0.001)
 
     # -- dense tensors for the predictor ----------------------------------------
 

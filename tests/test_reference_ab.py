@@ -218,6 +218,30 @@ def test_reference_engine_vs_xla_and_native_20drv_57laps(
         _compare(ref_probs, native, n_ref, n_nat, tv_bound=0.025)
 
 
+def test_reference_engine_vs_pallas_on_tpu(ref, matching_hashseed, tmp_path):
+    """Direct genuine-reference <-> fused-kernel link (otherwise transitive
+    through the native oracle): 20k real reference sims vs 262k Pallas sims
+    at the full 20-driver 57-lap configuration. TPU-only (interpreter PRNG
+    returns zeros); run via MCGP_TEST_TPU=1 pytest -k pallas."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("hardware PRNG requires real TPU")
+    from monte_carlo_gp_tpu.config import make_sim_params
+    from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas
+
+    d, laps = 20, 57
+    sc = _scenario(d)
+    n_ref = 20_000
+    ref_probs = _run_reference(sc, laps, n_ref, 42, matching_hashseed, tmp_path)
+    params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
+    n_pal = 262_144
+    pallas = np.asarray(
+        run_monte_carlo_pallas(params, jax.random.PRNGKey(1), n_pal, laps)
+    )
+    _compare(ref_probs, pallas, n_ref, n_pal, tv_bound=0.03)
+
+
 def test_reference_engine_event_heavy(ref, matching_hashseed, tmp_path):
     """SC/VSC/red-flag handlers dominate: ~4 events per race."""
     import jax
