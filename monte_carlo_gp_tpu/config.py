@@ -269,6 +269,20 @@ def make_sim_params(
                 f"base_pace up to {float(base_np.max()):.3g}s/lap exceeds "
                 "the engines' rank-key domain (real lap times are ~60-120 s)"
             )
+        if float(base_np.min()) < 0.0:
+            raise ValueError(
+                "base_pace must be non-negative (the fused kernel packs the "
+                "DRS flag into the pace sign bit; a negative lap pace is "
+                "physically meaningless anyway)"
+            )
+        deg_np = np.asarray(tire_deg, float)
+        if deg_np.size and float(deg_np.min()) < 0.0:
+            raise ValueError(
+                "tire_deg must be non-negative (the reference clamps it to "
+                "[0.01, 0.15], features.py:448-490; a negative rate would "
+                "let overtake pace base_pace + age*deg go negative, outside "
+                "the fused kernel's sign-packed domain)"
+            )
     if active is None:
         active = np.ones((d,), bool)
     f32 = lambda x: jnp.asarray(x, jnp.float32)

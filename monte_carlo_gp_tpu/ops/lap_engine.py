@@ -296,8 +296,13 @@ def lap_step(
     )
 
     # --- 2. Dirty-air precompute (simulation.py:179-183) -------------------
-    rank2 = _active_rank(cars)
-    ahead_last_lap = value_of_car_ahead(cars.last_lap, rank2, fill=0.0)
+    # `rank` is still the current standings: the event rewrites above are
+    # monotone in rank among active cars (SC: leader + rank*0.5; VSC: gaps
+    # scaled 0.8; red: leader + rank*0.1) and dnf is untouched, so
+    # re-ranking the rewritten cum would reproduce `rank` exactly (up to
+    # sub-ULP VSC rounding ties, arbitrated by index either way). Saves one
+    # O(D^2) rank build per lap in the scan.
+    ahead_last_lap = value_of_car_ahead(cars.last_lap, rank, fill=0.0)
 
     # --- 3. Per-car DNF draw + lap time (simulation.py:186-228) ------------
     u_dnf = jax.random.uniform(rng.lap_stream(key, lap, rng.STREAM_DNF), shape)

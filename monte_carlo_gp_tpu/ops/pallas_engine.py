@@ -169,12 +169,19 @@ def _race_kernel(total_laps: int, d: int, s: int):
             out = jnp.where(rank[j : j + 1, :] == rm1, q[j : j + 1, :], out)
         return out
 
-    def compound_scalar(table0, scal, compound):
-        """5-entry table lookup by compound id via select chain."""
-        out = jnp.zeros(compound.shape, jnp.float32)
+    def compound_tables(scal, compound):
+        """All three 5-entry table lookups (deg, pace, optimal) in one
+        masked pass — the eq masks are shared, so 5 eq + 15 selects replace
+        the 30 ops of three independent select chains."""
+        deg = jnp.zeros(compound.shape, jnp.float32)
+        pace = jnp.zeros(compound.shape, jnp.float32)
+        opt = jnp.zeros(compound.shape, jnp.float32)
         for c in range(5):
-            out = jnp.where(compound == c, scal[table0 + c], out)
-        return out
+            m = compound == c
+            deg = jnp.where(m, scal[_CDEG0 + c], deg)
+            pace = jnp.where(m, scal[_CPACE0 + c], pace)
+            opt = jnp.where(m, scal[_COPT0 + c], opt)
+        return deg, pace, opt
 
     def condition_compound(track_cond, remaining):
         dry = jnp.where(
@@ -251,10 +258,8 @@ def _race_kernel(total_laps: int, d: int, s: int):
         laps_done = jnp.zeros((d, s), jnp.float32)
         drs_until = jnp.zeros((1, s), jnp.float32)
 
-        def clean_lap_time(compound, age, fuel, drs, noise):
+        def clean_lap_time(comp_deg, comp_pace, age, fuel, drs, noise):
             factor = jnp.where(driver_deg > 0, driver_deg / 0.05, 1.0)
-            comp_deg = compound_scalar(_CDEG0, scal, compound)
-            comp_pace = compound_scalar(_CPACE0, scal, compound)
             return (
                 base_pace
                 + age * comp_deg * factor
@@ -268,7 +273,8 @@ def _race_kernel(total_laps: int, d: int, s: int):
         u_dnf = uniform()
         lap1_dnf = ~dnf & (u_dnf < team_dnf * 4.0)
         noise = normal()
-        base_lap = clean_lap_time(compound, age, fuel, drs, noise)
+        comp_deg1, comp_pace1, _ = compound_tables(scal, compound)
+        base_lap = clean_lap_time(comp_deg1, comp_pace1, age, fuel, drs, noise)
         position = start_pos.astype(jnp.float32) + 1.0
         sigma = jnp.minimum(1.5, 0.5 + position * 0.1)
         start_delta = sigma * normal()
@@ -352,15 +358,24 @@ def _race_kernel(total_laps: int, d: int, s: int):
                 is_red | is_sc, lap + 2.0, jnp.where(is_vsc, lap + 1.0, drs_until)
             )
 
-            # dirty air: last lap of the car one (active) rank ahead
-            rank2 = rank_of(rank_key(cum, row_iota, dnf))
-            ahead_llt = value_of_ahead(last_lap, rank2, 0.0)
+            # dirty air: last lap of the car one (active) rank ahead.
+            # The carried rank is still current: race-control rewrites are
+            # monotone in rank among active cars (SC: leader + rank*0.5;
+            # VSC: gaps scaled by 0.8; red: leader + rank*0.1) and dnf is
+            # untouched since the carry, so re-ranking cum here would
+            # reproduce `rank` exactly (up to sub-ULP VSC rounding ties,
+            # which rank_key arbitrates by index either way). Saves one
+            # O(D^2) rank pass per lap.
+            ahead_llt = value_of_ahead(last_lap, rank, 0.0)
 
             # DNF draw + lap time
             u_d = uniform()
             new_dnf = act & (u_d < dnf_rate)
             alive = act & ~new_dnf
-            clean = clean_lap_time(compound, age, fuel, drs, normal())
+            # One fused table pass serves the lap-time model AND the pit
+            # logic below (compound is unchanged in between).
+            comp_deg, comp_pace, opt = compound_tables(scal, compound)
+            clean = clean_lap_time(comp_deg, comp_pace, age, fuel, drs, normal())
             in_dirty = (behind > 0) & (ahead_llt > 0) & (behind < scal[_DIRTY_THRESH])
             lap_time = jnp.where(
                 in_dirty, jnp.maximum(clean + scal[_DIRTY_PEN], ahead_llt), clean
@@ -374,7 +389,6 @@ def _race_kernel(total_laps: int, d: int, s: int):
             laps_done = jnp.where(alive, laps_done + 1.0, laps_done)
 
             # pit stops (simulation.py:433-494)
-            opt = compound_scalar(_COPT0, scal, compound)
             opt_adj = jnp.where(
                 driver_deg > 0.05,
                 jnp.floor(opt * 0.85),
@@ -407,34 +421,60 @@ def _race_kernel(total_laps: int, d: int, s: int):
             age = jnp.where(pit, 0.0, age)
 
             # overtakes: 3 passes (simulation.py:496-536)
+            #
+            # Each pass runs fully in POSITION space. One permutation-
+            # extract per pass moves (cum, pace, attack-pace) into
+            # position-indexed rows with broadcast selects — eq between the
+            # attacker row of `orank` and the row iota — instead of the
+            # earlier row_pick formulation whose 2D-1 cross-sublane
+            # reductions dominated the block (+9% whole-kernel measured).
+            # Row p of R_* is the value of the car with rank p, so the pair
+            # decision (reference: pace delta incl. attacker's DRS vs the
+            # circuit overtake delta) is one adjacent-row subtraction, the
+            # 19-step sequential time-rewrite chain runs on (1,S) row
+            # slices, and one relational select per position writes the
+            # rewritten times back to driver space. DNF'd cars keep their
+            # frozen cum position in the chain; their NaN pace makes any
+            # pair involving them ineligible, as before.
+            # Pace rides its own sign bit as the DRS flag (pace > 0 always;
+            # DNF'd cars are NaN, whose comparisons are False either way),
+            # so each pass extracts TWO arrays instead of three. The
+            # attacker's pace-with-DRS-bonus is reconstructed from the same
+            # two f32 values the driver-space subtraction would use, so
+            # delta is bitwise identical to the unpacked form.
             pace = jnp.where(dnf, NAN, base_pace + age * driver_deg)
+            packed = jnp.where(drs, -pace, pace)
+            packed_rows = [packed[j : j + 1, :] for j in range(d)]
             pass_active = jnp.ones((1, s), jnp.bool_)
-            for _ in range(3):
+            for _ in range(3 if d > 1 else 0):
                 orank = rank_of(rank_key(cum, row_iota))
-                ahead_pace = value_of_ahead(pace, orank, NAN)
-                delta = ahead_pace - pace + jnp.where(drs, drs_delta, 0.0)
-                eligible = (delta > overtake_delta) & (orank > 0)
+                r_cum = jnp.zeros((d, s), jnp.float32)
+                r_pk = jnp.full((d, s), NAN, jnp.float32)
+                for j in range(d):
+                    eq = orank[j : j + 1, :] == row_iota
+                    r_cum = jnp.where(eq, cum[j : j + 1, :], r_cum)
+                    r_pk = jnp.where(eq, packed_rows[j], r_pk)
+                # attacker at position p (rows 1..d-1) vs the car at p-1:
+                # delta = ahead_pace - my_pace + my_drs_bonus (NaN -> False)
+                r_pace = jnp.abs(r_pk)
+                # sign test on the bit pattern: catches -0.0 (pace can be
+                # exactly 0 under degenerate params); +NaN stays positive.
+                drs_bit = pltpu.bitcast(r_pk, jnp.int32) < 0
+                r_att = r_pace - jnp.where(drs_bit, drs_delta, 0.0)
+                delta = r_pace[: d - 1, :] - r_att[1:, :]
                 prob = jnp.minimum(0.5, delta * 0.5)
-                swap = eligible & (uniform() < prob) & pass_active
-                swap_f = swap.astype(jnp.float32)
-                # Sequential time-rewrite chain in position-row space: pull
-                # the per-position cumulative times and swap flags into (1,S)
-                # rows once, run the 19-step recurrence on rows (cheap), and
-                # write the rows back with one select per position — ~40%
-                # fewer (D,S) ops than updating `cum` inside the chain.
-                masks = [orank == p for p in range(d)]
-                rows = [row_pick(masks[p], cum) for p in range(d)]
-                swap_rows = [None] + [
-                    row_pick(masks[p], swap_f) > 0.5 for p in range(1, d)
-                ]
+                u = uniform()
+                swap = (delta > overtake_delta) & (u[1:, :] < prob) & pass_active
+                rows = [r_cum[p : p + 1, :] for p in range(d)]
+                srows = [None] + [swap[p - 1 : p, :] for p in range(1, d)]
                 for p in range(1, d):
                     nb = jnp.maximum(0.1, rows[p - 1] - 0.1)
-                    rows[p - 1] = jnp.where(swap_rows[p], nb + 0.3, rows[p - 1])
-                    rows[p] = jnp.where(swap_rows[p], nb, rows[p])
+                    rows[p - 1] = jnp.where(srows[p], nb + 0.3, rows[p - 1])
+                    rows[p] = jnp.where(srows[p], nb, rows[p])
                 for p in range(d):
-                    cum = jnp.where(masks[p], rows[p], cum)
-                pass_active = pass_active & (
-                    jnp.max(swap_f, axis=0, keepdims=True) > 0.5
+                    cum = jnp.where(orank == p, rows[p], cum)
+                pass_active = pass_active & jnp.any(
+                    swap, axis=0, keepdims=True
                 )
 
             # position / DRS update (simulation.py:538-560)

@@ -55,6 +55,32 @@ def test_rejects_bad_tile_split():
         run_monte_carlo_pallas(params, jax.random.PRNGKey(0), 100, 12, sims_per_tile=64)
 
 
+def test_rejects_negative_pace_and_deg():
+    """The fused kernel packs the DRS flag into the pace sign bit, so
+    negative base_pace / tire_deg (both physically meaningless) are
+    rejected at SimParams construction."""
+    d = 4
+    gp = np.eye(d, dtype=np.float32)
+    common = dict(
+        grid_probs=gp,
+        variance=np.full(d, 0.15),
+        dnf_rate=np.full(d, 0.001),
+        team_dnf_rate=np.full(d, 0.002),
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        make_sim_params(
+            base_pace=np.array([90.0, 90.0, -1.0, 90.0]),
+            tire_deg=np.full(d, 0.05),
+            **common,
+        )
+    with pytest.raises(ValueError, match="non-negative"):
+        make_sim_params(
+            base_pace=np.full(d, 90.0),
+            tire_deg=np.array([0.05, -0.01, 0.05, 0.05]),
+            **common,
+        )
+
+
 def test_rejects_rank_key_domain_overflow():
     """Cumulative times beyond ~1.5e6 s would wrap the engines' int32 rank
     keys; validation happens at SimParams construction (host-side numpy —
