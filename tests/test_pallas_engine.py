@@ -135,6 +135,70 @@ def test_matches_native_oracle_high_n_on_tpu():
 
 @pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires real TPU")
 @pytest.mark.slow
+def test_pallas_stress_matrix_on_tpu():
+    """Pallas vs XLA engine across adversarial regimes the normal-scenario
+    tests never enter: full wet, event chaos (damp + high SC/VSC/red), pit
+    churn (max driver deg -> 0.85-scaled stints), and an overtake frenzy
+    (anticorrelated grid/pace, tiny overtake_delta, big DRS) that keeps all
+    three cascade passes live. All cases share one compile per engine
+    (params are traced); TV bound 0.07 vs a ~0.04 MC noise floor at 16k
+    sims per side."""
+    from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+    d, laps, n = 20, 30, 16_384
+    rng = np.random.default_rng(3)
+    gp = np.exp(
+        -((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 8.0
+    ).astype(np.float32)
+    gp /= gp.sum(1, keepdims=True)
+    base = dict(
+        grid_probs=gp,
+        base_pace=90.0 + 0.06 * np.arange(d),
+        tire_deg=np.clip(0.05 + 0.015 * rng.standard_normal(d), 0.01, 0.15),
+        variance=np.full(d, 0.15),
+        dnf_rate=np.full(d, 0.0008),
+        team_dnf_rate=np.full(d, 0.002),
+        pit_loss=21.0,
+        overtake_delta=0.6,
+    )
+    scenarios = {
+        "full_wet": {**base, "track_condition": "wet", "variance": np.full(d, 0.4)},
+        "event_chaos": {
+            **base,
+            "track_condition": "damp",
+            "sc_prob": 0.08,
+            "vsc_prob": 0.10,
+            "red_flag_prob": 0.01,
+        },
+        "pit_churn": {
+            **base,
+            "tire_deg": np.full(d, 0.15),
+            "pit_loss": 30.0,
+        },
+        "overtake_frenzy": {
+            **base,
+            # fast cars start last: gp reversed against pace order
+            "grid_probs": gp[::-1].copy(),
+            "overtake_delta": 0.15,
+            "drs_delta": 0.8,
+            "variance": np.full(d, 0.05),
+        },
+    }
+    for name, kw in scenarios.items():
+        params = make_sim_params(**kw)
+        pallas = np.asarray(
+            run_monte_carlo_pallas(params, jax.random.PRNGKey(5), n, laps)
+        )
+        xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(6), n, laps))
+        np.testing.assert_allclose(
+            pallas.sum(axis=1), 1.0, atol=1e-5, err_msg=name
+        )
+        tv = 0.5 * np.abs(pallas - xla).sum(axis=1)
+        assert tv.max() < 0.07, (name, tv)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires real TPU")
+@pytest.mark.slow
 def test_matches_xla_engine_on_tpu():
     from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
 
