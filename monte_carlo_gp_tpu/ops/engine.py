@@ -26,6 +26,8 @@ from monte_carlo_gp_tpu.config import SimParams
 from monte_carlo_gp_tpu.ops import rng
 from monte_carlo_gp_tpu.ops.grid_sampling import sample_grid
 from monte_carlo_gp_tpu.ops.lap_engine import (
+    FUEL_PER_LAP,
+    FUEL_START,
     classify,
     init_cars,
     lap_step,
@@ -33,6 +35,56 @@ from monte_carlo_gp_tpu.ops.lap_engine import (
 )
 
 DEFAULT_BLOCK = 131_072  # sims per block on TPU (state ~130 MB @ D=20)
+
+# The lap scan is carry-traffic-bound on TPU: every carried (n_sims, D)
+# array is written and re-read through HBM once per lap. The six integer
+# state fields all fit int8 for any real race (values bounded by the padded
+# lap count, <= ~96), so the carry is narrowed at the scan boundary —
+# lap_step itself stays int32 — cutting carried bytes/car from 38 to 20.
+# The casts fuse into the adjacent loop kernels. Skipped for pathological
+# total_laps where int8 could wrap (tire_age can reach total_laps + 4).
+_NARROW_FIELDS = ("tire_age", "compound", "used_mask", "pit_stops", "laps_done", "dnf_lap")
+_NARROW_MAX_LAPS = 120
+
+
+def _encode_carry(cars, narrow: bool):
+    """Narrow the carried ints to int8 and drop fuel (17 bytes/car vs 38
+    unpacked). fuel is in lockstep with laps_done (both gated on the same
+    `alive` every lap; lap 1 burns fuel without counting as a completed
+    lap), and every reachable value is a multiple of 0.5 <= 110, so the
+    decode reconstructs it bitwise identically. Denser bit-packing (DRS in
+    the tire_age sign, used_mask folded into compound, dnf via a dnf_lap
+    sentinel, 13 bytes/car) was measured SLOWER (0.81 vs 0.85M sims/s) —
+    the extra codec ops cost more than the 4 bytes they save."""
+    if not narrow:
+        return cars
+    return dataclasses.replace(
+        cars,
+        fuel=jnp.zeros((), jnp.float32),
+        **{f: getattr(cars, f).astype(jnp.int8) for f in _NARROW_FIELDS},
+    )
+
+
+def _decode_carry(cars, narrow: bool):
+    if not narrow:
+        return cars
+    laps_done = cars.laps_done.astype(jnp.int32)
+    dnf_lap = cars.dnf_lap.astype(jnp.int32)
+    took_lap_1 = ~(cars.dnf & (dnf_lap < 2))  # lap-1 DNFs / padding burn none
+    fuel = jnp.maximum(
+        0.0,
+        FUEL_START - FUEL_PER_LAP * (laps_done + took_lap_1).astype(jnp.float32),
+    )
+    return dataclasses.replace(
+        cars,
+        fuel=fuel,
+        laps_done=laps_done,
+        dnf_lap=dnf_lap,
+        **{
+            f: getattr(cars, f).astype(jnp.int32)
+            for f in ("tire_age", "compound", "used_mask", "pit_stops")
+        },
+    )
 
 
 def simulate_races_state(
@@ -63,27 +115,39 @@ def simulate_races_state(
     # Padding slots beyond the real entry list are retired before the start
     # so they classify last and never interact with live cars.
     cars = dataclasses.replace(cars, dnf=cars.dnf | ~params.active[None, :])
-    cars, rank0 = simulate_lap_1(params, cars, key)
+    cars, rank0 = simulate_lap_1(params, cars, start_pos, key)
 
     drs_until0 = jnp.zeros((n_sims,), jnp.int32)
     laps_total = race_laps if race_laps is not None else jnp.int32(total_laps)
+    narrow = total_laps <= _NARROW_MAX_LAPS
+
+    narrow_rank = params.n_drivers <= 127  # rank values < D must fit int8
 
     def step(carry, lap):
-        cars, drs_until, rank = carry
+        enc_cars, drs_until, enc_rank = carry
+        cars = _decode_carry(enc_cars, narrow)
+        rank = enc_rank.astype(jnp.int32) if narrow_rank else enc_rank
         new_cars, new_drs, new_rank = lap_step(
             params, laps_total, cars, drs_until, lap, key, prev_rank=rank
         )
+        new_enc = _encode_carry(new_cars, narrow)
+        if narrow_rank:
+            new_rank = new_rank.astype(jnp.int8)
         if race_laps is not None:
             live = lap <= laps_total
-            new_cars = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(live, new, old), new_cars, cars
+            new_enc = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(live, new, old), new_enc, enc_cars
             )
             new_drs = jnp.where(live, new_drs, drs_until)
-            new_rank = jnp.where(live, new_rank, rank)
-        return (new_cars, new_drs, new_rank), None
+            new_rank = jnp.where(live, new_rank, enc_rank)
+        return (new_enc, new_drs, new_rank), None
 
     laps = jnp.arange(2, total_laps + 1, dtype=jnp.int32)
-    (cars, _, _), _ = jax.lax.scan(step, (cars, drs_until0, rank0), laps)
+    rank0_enc = rank0.astype(jnp.int8) if narrow_rank else rank0
+    (enc_cars, _, _), _ = jax.lax.scan(
+        step, (_encode_carry(cars, narrow), drs_until0, rank0_enc), laps
+    )
+    cars = _decode_carry(enc_cars, narrow)
     return classify(cars), cars
 
 

@@ -73,7 +73,6 @@ class Cars:
 
     cum_time: jax.Array      # f32 cumulative race time
     last_lap: jax.Array      # f32 previous lap time (dirty-air input)
-    behind_leader: jax.Array # f32 gap to leader as of last position update
     tire_age: jax.Array      # i32 laps on current tires
     compound: jax.Array      # i32 compound id (config.COMPOUND_NAMES order)
     used_mask: jax.Array     # i32 bitmask of compounds used (2-compound rule)
@@ -83,7 +82,14 @@ class Cars:
     dnf: jax.Array           # bool retired
     dnf_lap: jax.Array       # i32 lap of retirement (classification key)
     drs: jax.Array           # bool DRS available this lap
-    start_pos: jax.Array     # i32 0-indexed grid slot (lap-1 start model)
+    # NOT carried (deliberately): the reference CarState's `behind_leader`
+    # is recomputed as cum_time - current leader time at its only consumer
+    # (the dirty-air precompute) — cum/dnf are untouched between the
+    # position update that would have stored it and that read, and the
+    # race-control rewrites preserve the leader, so the recomputation is
+    # exact for every live car while saving an (S, D) f32 scan-carry
+    # round-trip through HBM per lap. `start_pos` is likewise only a lap-1
+    # input, passed to simulate_lap_1 directly instead of riding the carry.
 
 
 def _condition_compound(track_condition: jax.Array, remaining: jax.Array) -> jax.Array:
@@ -120,7 +126,6 @@ def init_cars(params: SimParams, start_pos: jax.Array) -> Cars:
     return Cars(
         cum_time=zeros_f,
         last_lap=zeros_f,
-        behind_leader=zeros_f,
         tire_age=tire_age,
         compound=compound,
         used_mask=(1 << compound).astype(jnp.int32),
@@ -130,7 +135,6 @@ def init_cars(params: SimParams, start_pos: jax.Array) -> Cars:
         dnf=jnp.zeros(shape, bool),
         dnf_lap=zeros_i,
         drs=jnp.zeros(shape, bool),
-        start_pos=start_pos.astype(jnp.int32),
     )
 
 
@@ -174,9 +178,6 @@ def _update_positions(
     update and the next lap's race-control step, so callers carry it forward
     instead of recomputing (one fewer O(D^2) rank per lap)."""
     rank = _active_rank(cars)
-    key = jnp.where(cars.dnf, INF_TIME, cars.cum_time)
-    leader_time = jnp.min(key, axis=-1, keepdims=True)
-    behind = jnp.where(cars.dnf, cars.behind_leader, cars.cum_time - leader_time)
     gap_ahead = cars.cum_time - value_of_car_ahead(cars.cum_time, rank, fill=0.0)
     drs_ok = (
         (lap > 2)
@@ -185,12 +186,17 @@ def _update_positions(
         & (gap_ahead < DRS_WINDOW)
         & ~cars.dnf
     )
-    return dataclasses.replace(cars, behind_leader=behind, drs=drs_ok), rank
+    return dataclasses.replace(cars, drs=drs_ok), rank
 
 
-def simulate_lap_1(params: SimParams, cars: Cars, key: jax.Array) -> Cars:
+def simulate_lap_1(
+    params: SimParams, cars: Cars, start_pos: jax.Array, key: jax.Array
+) -> Cars:
     """Lap 1: 4x team-rate DNF risk, start-position-dependent position
-    variance, no DRS (reference `_simulate_lap_1`, simulation.py:275-311)."""
+    variance, no DRS (reference `_simulate_lap_1`, simulation.py:275-311).
+
+    `start_pos` is the (n_sims, D) 0-indexed grid slot from grid sampling —
+    a lap-1-only input, not part of the carried state."""
     shape = cars.cum_time.shape
     u_dnf = jax.random.uniform(rng.lap_stream(key, 1, rng.STREAM_DNF), shape)
     # Respect pre-retired cars (padding slots beyond the real entry list).
@@ -202,7 +208,7 @@ def simulate_lap_1(params: SimParams, cars: Cars, key: jax.Array) -> Cars:
     base_lap = _clean_lap_time(params, cars, noise)
 
     # Start model: sigma grows with grid slot; front-3 gains clamped.
-    position = cars.start_pos.astype(jnp.float32) + 1.0  # 1-indexed
+    position = start_pos.astype(jnp.float32) + 1.0  # 1-indexed
     sigma = jnp.minimum(1.5, 0.5 + position * 0.1)
     start_noise = jax.random.normal(rng.lap_stream(key, 1, rng.STREAM_START), shape)
     start_delta = sigma * start_noise
@@ -273,7 +279,6 @@ def lap_step(
     cum_time = jnp.where(
         m_red, red_time, jnp.where(m_sc, sc_time, jnp.where(m_vsc, vsc_time, cars.cum_time))
     )
-    behind_leader = jnp.where(any_event, cum_time - leader_time, cars.behind_leader)
     age_refund = m_sc | (vsc_refund[..., None] & active)
     tire_age = jnp.where(
         m_red, 0, jnp.where(age_refund, jnp.maximum(0, cars.tire_age - 1), cars.tire_age)
@@ -289,7 +294,6 @@ def lap_step(
     cars = dataclasses.replace(
         cars,
         cum_time=cum_time,
-        behind_leader=behind_leader,
         tire_age=tire_age,
         compound=compound,
         used_mask=used_mask,
@@ -311,10 +315,17 @@ def lap_step(
 
     noise = jax.random.normal(rng.lap_stream(key, lap, rng.STREAM_LAP_NOISE), shape)
     clean = _clean_lap_time(params, cars, noise)
+    # behind_leader, recomputed (see the Cars docstring): the race-control
+    # rewrites preserve the leader (rank-0 term is 0 in all three), so
+    # `leader_time` from step 1 is still the leader's cum, and for every
+    # live car cum - leader equals the value the reference carries. DNF'd
+    # cars get a different (current-gap) value than the reference's frozen
+    # one, but their lap time is masked out below either way.
+    behind = cars.cum_time - leader_time
     in_dirty_air = (
-        (cars.behind_leader > 0)
+        (behind > 0)
         & (ahead_last_lap > 0)
-        & (cars.behind_leader < params.dirty_air_threshold)
+        & (behind < params.dirty_air_threshold)
     )
     lap_time = jnp.where(
         in_dirty_air,

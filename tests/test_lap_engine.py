@@ -48,10 +48,8 @@ def fresh_cars(params, gaps, **overrides):
     d = len(gaps)
     cars = init_cars(params, jnp.arange(d, dtype=jnp.int32)[None, :])
     cum = jnp.asarray([gaps], jnp.float32)
-    leader = jnp.min(cum, axis=-1, keepdims=True)
     cars = dataclasses.replace(
-        cars, cum_time=cum, behind_leader=cum - leader,
-        laps_done=jnp.ones_like(cars.laps_done),
+        cars, cum_time=cum, laps_done=jnp.ones_like(cars.laps_done),
     )
     return dataclasses.replace(cars, **overrides)
 
@@ -396,7 +394,6 @@ def test_overtake_success_rate_and_time_rewrite():
     cars = dataclasses.replace(
         cars,
         cum_time=cum,
-        behind_leader=cum,
         compound=jnp.full((n, d), cfg.MEDIUM, jnp.int32),
         tire_age=jnp.zeros((n, d), jnp.int32),
         laps_done=jnp.ones((n, d), jnp.int32),
@@ -426,7 +423,7 @@ def test_no_overtake_below_delta_threshold():
     cars = init_cars(params, jnp.tile(jnp.arange(2), (n, 1)))
     cum = jnp.tile(jnp.asarray([[0.0, 3.0]], jnp.float32), (n, 1))
     cars = dataclasses.replace(
-        cars, cum_time=cum, behind_leader=cum,
+        cars, cum_time=cum,
         laps_done=jnp.ones((n, 2), jnp.int32),
     )
     out, _ = _jit_step(params, 57, cars, jnp.zeros((n, ), jnp.int32), jnp.int32(10))
@@ -500,7 +497,7 @@ def test_overtake_probability_caps_at_half():
     # position change can only come from the overtake step
     cum = jnp.tile(jnp.asarray([[0.0, 10.0]], jnp.float32), (n, 1))
     cars = dataclasses.replace(
-        cars, cum_time=cum, behind_leader=cum,
+        cars, cum_time=cum,
         laps_done=jnp.ones((n, 2), jnp.int32),
     )
     out, _ = _jit_step(params, 57, cars, jnp.zeros((n,), jnp.int32), jnp.int32(10))
