@@ -483,3 +483,177 @@ def test_default_mode_divergences_are_exactly_the_documented_ones(ref, archives)
             assert r_def[k] == pytest.approx(r_ref[k], rel=1e-9, abs=1e-12), (driver, k)
     # the fixes actually change values on this archive
     assert saw_divergence == fixed_keys, saw_divergence
+
+
+# =============================================================================
+# (d) Predictor: the full reference predict_weekend pipeline, head-to-head
+# =============================================================================
+
+
+def test_reference_predictor_end_to_end(ref, tmp_path_factory):
+    """Drive the GENUINE reference F1Predictor.predict_weekend
+    (reference predictor.py:99-319) on the synthetic world and compare the
+    exact simulation inputs it hands to RaceSimulator.run_monte_carlo —
+    grid probabilities, adjusted base pace, tire deg, shaped variance,
+    per-lap DNF rates, race config, track condition — against OUR
+    prepare_weekend's WeekendPlan/SimParams for the same data. These inputs
+    are deterministic functions of the data (no Monte Carlo noise), so this
+    closes the last A/B gap: the orchestration layer itself (Elo build
+    order + recency, FP fallback chains, practice extraction, variance
+    shaping, team-trend and wet-skill pace adjustments).
+
+    The reference gets OUR loader duck-typed in (the data-layer APIs are
+    parity by construction: load_session / load_season_data / get_weather)
+    plus a minimal fastf1 stub for the two direct calls its feature engine
+    makes (get_event_schedule / get_session(...).results). Monte Carlo then
+    runs at reduced n for a loose end-to-end sanity check on win
+    probabilities."""
+    import random
+
+    import pandas as pd
+
+    from monte_carlo_gp_tpu import config as cfg
+    from monte_carlo_gp_tpu.data.loader import F1DataLoader as OurLoader
+    from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
+    from monte_carlo_gp_tpu.models.features import F1FeatureEngine as OurFeatures
+    from monte_carlo_gp_tpu.models.predictor import F1Predictor as OurPredictor
+
+    import src.predictor as ref_predictor_mod
+
+    backend = SyntheticBackend(seed=5, n_events=12)
+    loader = OurLoader(
+        cache_dir=tmp_path_factory.mktemp("ab_pred_cache"), backend=backend
+    )
+
+    # --- minimal fastf1 stub for the reference feature engine -------------
+    fake = types.ModuleType("fastf1")
+    fake.get_event_schedule = lambda season: pd.DataFrame(backend.get_schedule(season))
+
+    class _RefSession:
+        def __init__(self, season, event):
+            self.results = backend.load_results(season, event, "R")
+
+        def load(self):
+            pass
+
+    fake.get_session = lambda season, event, kind: _RefSession(season, event)
+
+    # The reference F1Predictor constructs its own F1DataLoader, whose
+    # __init__ calls fastf1.Cache.enable_cache before we can swap the
+    # loader out — give the bare stub module just enough to pass.
+    import src.data_loader as ref_loader_mod
+
+    class _Cache:
+        @staticmethod
+        def enable_cache(path):
+            pass
+
+    ref_loader_mod.fastf1.Cache = _Cache
+
+    ref_pred = ref_predictor_mod.F1Predictor()
+    ref_pred.data_loader = loader
+    ref_pred.feature_engine = ref.features.F1FeatureEngine(loader)
+
+    ours = OurPredictor(
+        cache_dir=tmp_path_factory.mktemp("ab_pred_cache2"),
+        backend=SyntheticBackend(seed=5, n_events=12),
+        engine="xla",
+    )
+    ours.feature_engine = OurFeatures(ours.data_loader, reference_compat=True)
+
+    captured = {}
+    orig_mc = ref.sim.RaceSimulator.run_monte_carlo
+
+    def capture_mc(self, n_simulations, grid_probs, base_pace, tire_deg,
+                   driver_variance, driver_dnf_rates=None, seed=None,
+                   track_condition="dry"):
+        captured.update(
+            config=self.config,
+            grid_probs={d: list(v) for d, v in grid_probs.items()},
+            base_pace=dict(base_pace),
+            tire_deg=dict(tire_deg),
+            variance=dict(driver_variance),
+            dnf=dict(driver_dnf_rates or {}),
+            track_condition=track_condition,
+        )
+        return orig_mc(
+            self, 4096, grid_probs, base_pace, tire_deg, driver_variance,
+            driver_dnf_rates, seed=7, track_condition=track_condition,
+        )
+
+    old_fastf1 = ref.features.fastf1
+    old_mc = ref.sim.RaceSimulator.run_monte_carlo
+    ref.features.fastf1 = fake
+    ref.sim.RaceSimulator.run_monte_carlo = capture_mc
+    try:
+        for race, expect_cond in (("Bahrain", "dry"), ("Belgium", "damp")):
+            random.seed(7)
+            np.random.seed(7)
+            result_ref = ref_pred.predict_weekend(2024, race, prediction_point="fp2")
+            plan = ours.prepare_weekend(2024, race, prediction_point="fp2")
+
+            # --- deterministic simulation inputs --------------------------
+            assert captured["track_condition"] == expect_cond, race
+            ti = cfg.TRACK_CONDITIONS[
+                "damp" if expect_cond == "damp" else "dry"
+            ]
+            assert int(plan.params.track_condition) == ti
+
+            assert set(captured["base_pace"]) == set(plan.drivers)
+            idx = {d: i for i, d in enumerate(plan.drivers)}
+            pp = np.asarray(plan.params.base_pace)
+            vv = np.asarray(plan.params.variance)
+            dd = np.asarray(plan.params.tire_deg)
+            nn = np.asarray(plan.params.dnf_rate)
+            gg = np.asarray(plan.params.grid_probs)
+            mismatches = []
+            for d in plan.drivers:
+                i = idx[d]
+                for name, ref_v, our_v, tol in (
+                    ("base_pace", captured["base_pace"][d], pp[i], 1e-3),
+                    ("variance", captured["variance"][d], vv[i], 1e-5),
+                    ("tire_deg", captured["tire_deg"][d], dd[i], 1e-6),
+                    ("dnf", captured["dnf"][d], nn[i], 1e-7),
+                ):
+                    if abs(ref_v - float(our_v)) > tol:
+                        mismatches.append((race, d, name, ref_v, float(our_v)))
+                q_ref = np.asarray(captured["grid_probs"][d], float)
+                if not np.allclose(gg[i, : len(q_ref)], q_ref, atol=2e-5):
+                    mismatches.append((race, d, "grid_probs",
+                                       q_ref[:3], gg[i, :3]))
+                # pole probability surfaced in the result dict
+                if abs(result_ref["pole_probabilities"][d] - plan.quali_probs[d][0]) > 2e-5:
+                    mismatches.append((race, d, "pole_prob",
+                                       result_ref["pole_probabilities"][d],
+                                       plan.quali_probs[d][0]))
+            assert not mismatches, mismatches[:8]
+
+            # --- race config ---------------------------------------------
+            rc = captured["config"]
+            assert rc.total_laps == plan.total_laps
+            assert float(plan.params.pit_loss) == pytest.approx(rc.pit_loss)
+            assert float(plan.params.overtake_delta) == pytest.approx(rc.overtake_delta)
+            assert float(plan.params.drs_delta) == pytest.approx(rc.drs_delta)
+            assert float(plan.params.sc_prob) == pytest.approx(rc.sc_probability)
+            assert float(plan.params.vsc_prob) == pytest.approx(rc.vsc_probability)
+            assert float(plan.params.red_flag_prob) == pytest.approx(rc.red_flag_probability)
+            comp_pace = np.asarray(plan.params.compound_pace)
+            comp_deg = np.asarray(plan.params.compound_deg)
+            for ci, cname in enumerate(cfg.COMPOUND_NAMES):
+                info = rc.tire_compounds[cname]
+                assert comp_pace[ci] == pytest.approx(info["pace_delta"], abs=1e-5), cname
+                assert comp_deg[ci] == pytest.approx(info["deg_rate"], abs=1e-6), cname
+
+            # --- loose end-to-end: win probabilities at reduced sims ------
+            result_ours = ours.assemble_result(
+                plan, ours.simulate_plan(plan, 10_240, seed=0)
+            )
+            diffs = [
+                abs(result_ref["win_probabilities"][d]
+                    - result_ours["win_probabilities"][d])
+                for d in plan.drivers
+            ]
+            assert max(diffs) < 0.06, (race, max(diffs))
+    finally:
+        ref.features.fastf1 = old_fastf1
+        ref.sim.RaceSimulator.run_monte_carlo = old_mc
