@@ -23,6 +23,25 @@ def test_different_seed_different_result(std_setup):
     assert not np.array_equal(a, b)
 
 
+def test_carry_codec_is_bitwise_transparent(std_setup, monkeypatch):
+    """The int8 scan-carry codec (engine._encode_carry/_decode_carry, plus
+    the derived fuel) must be a pure traffic optimization: disabling it via
+    the _NARROW_MAX_LAPS guard must reproduce the narrowed path's finish
+    probabilities BIT FOR BIT. Also exercises the narrow=False branch,
+    which no real race reaches (all circuits are <= 120 laps)."""
+    from monte_carlo_gp_tpu.ops import engine as eng
+
+    params, key = std_setup
+    narrowed = np.asarray(run_monte_carlo(params, key, 512, 24))
+    monkeypatch.setattr(eng, "_NARROW_MAX_LAPS", 0)
+    eng.run_monte_carlo.clear_cache()
+    try:
+        wide = np.asarray(run_monte_carlo(params, key, 512, 24))
+    finally:
+        eng.run_monte_carlo.clear_cache()
+    np.testing.assert_array_equal(narrowed, wide)
+
+
 def test_block_splitting_changes_nothing_about_validity(std_setup):
     """Blocked and unblocked runs use different key fan-out, so they are
     different (documented) — but both are valid distributions and each is
