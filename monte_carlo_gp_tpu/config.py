@@ -276,12 +276,13 @@ def make_sim_params(
                 "physically meaningless anyway)"
             )
         deg_np = np.asarray(tire_deg, float)
-        if deg_np.size and float(deg_np.min()) < 0.0:
+        if deg_np.size and not np.all(np.isfinite(deg_np) & (deg_np >= 0.0)):
             raise ValueError(
-                "tire_deg must be non-negative (the reference clamps it to "
-                "[0.01, 0.15], features.py:448-490; a negative rate would "
-                "let overtake pace base_pace + age*deg go negative, outside "
-                "the fused kernel's sign-packed domain)"
+                "tire_deg must be finite and non-negative (the reference "
+                "clamps it to [0.01, 0.15], features.py:448-490; a negative "
+                "or NaN rate would push overtake pace base_pace + age*deg "
+                "outside the fused kernel's sign-packed domain and corrupt "
+                "the bitcast rank keys)"
             )
     if active is None:
         active = np.ones((d,), bool)

@@ -82,7 +82,8 @@ def _decode_carry(cars, narrow: bool):
         dnf_lap=dnf_lap,
         **{
             f: getattr(cars, f).astype(jnp.int32)
-            for f in ("tire_age", "compound", "used_mask", "pit_stops")
+            for f in _NARROW_FIELDS
+            if f not in ("laps_done", "dnf_lap")
         },
     )
 

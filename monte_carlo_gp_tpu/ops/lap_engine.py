@@ -191,7 +191,7 @@ def _update_positions(
 
 def simulate_lap_1(
     params: SimParams, cars: Cars, start_pos: jax.Array, key: jax.Array
-) -> Cars:
+) -> tuple[Cars, jax.Array]:
     """Lap 1: 4x team-rate DNF risk, start-position-dependent position
     variance, no DRS (reference `_simulate_lap_1`, simulation.py:275-311).
 
