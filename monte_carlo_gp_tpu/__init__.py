@@ -34,11 +34,37 @@ jax.config.update("jax_threefry_partitionable", True)
 # Persistent compilation cache: TPU compiles of the race engine are tens of
 # seconds; cache them across processes (CLI invocations, backtests). Opt out
 # with MCGP_COMPILE_CACHE=0 or point it elsewhere with a path.
+#
+# The cache lives under a HOST-FINGERPRINT subdirectory: $HOME can outlive
+# the machine (shared/portable home dirs), and XLA:CPU AOT executables
+# compiled on a host with different CPU features load with a "could lead to
+# SIGILL" warning and non-identical float codegen — observed to flip
+# Monte Carlo outcomes and destabilize the statistical accuracy gates. A
+# per-CPU-flags cache directory makes every entry host-compatible; moving
+# to a new machine type just pays one fresh compile set.
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    probe = platform.machine() + ";" + platform.processor()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    probe += ";" + line.strip()
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(probe.encode()).hexdigest()[:12]
+
+
 _cache = os.environ.get("MCGP_COMPILE_CACHE", "")
 if _cache != "0":
+    _base = _cache or os.path.expanduser("~/.cache/mcgp_jax")
     jax.config.update(
-        "jax_compilation_cache_dir",
-        _cache or os.path.expanduser("~/.cache/mcgp_jax"),
+        "jax_compilation_cache_dir", os.path.join(_base, _host_fingerprint())
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 

@@ -63,8 +63,14 @@ class SyntheticBackend:
         # Per-driver latent skills, fixed across seasons (plus season drift).
         root = np.random.default_rng(seed)
         self._base_skill = root.normal(0.0, 0.45, len(self.drivers))
+        # dict.fromkeys, NOT set(): the per-team draws are consumed in
+        # iteration order, and a string set's order is hash-randomized —
+        # with set() the whole synthetic world permuted its team pace per
+        # process (PYTHONHASHSEED), which made every statistical gate on
+        # synthetic data a different random realization per pytest run.
         self._team_pace = {
-            team: root.normal(0.0, 0.35) for team in set(cfg.DRIVER_TEAMS.values())
+            team: root.normal(0.0, 0.35)
+            for team in dict.fromkeys(cfg.DRIVER_TEAMS.values())
         }
 
     # -- deterministic sub-generators ---------------------------------------

@@ -379,8 +379,11 @@ class F1FeatureEngine:
         n_all = t["drv_lap_n"].get(driver, 0)
         if not n_all:
             return 0.0
-        targets = {_short_name(circuit)} | set(
-            cfg.get_similar_tracks(_short_name(circuit))
+        # sorted: the accumulation below is float addition in iteration
+        # order; a raw set's hash-randomized order would make the feature
+        # vary in the last ULP across processes.
+        targets = sorted(
+            {_short_name(circuit)} | set(cfg.get_similar_tracks(_short_name(circuit)))
         )
         sums = t["drv_circuit_sum"]
         counts = t["drv_circuit_n"]

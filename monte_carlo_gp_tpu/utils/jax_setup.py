@@ -32,7 +32,14 @@ def enable_persistent_compilation_cache(cache_dir: str | Path | None = None) -> 
     try:
         target = os.environ.get("MCGP_COMPILE_CACHE", "")
         if target != "0":
-            path = Path(target or os.path.expanduser("~/.cache/mcgp_jax"))
+            # Host-fingerprint subdirectory — see the package __init__:
+            # foreign-machine XLA:CPU AOT entries are unsafe to load.
+            from monte_carlo_gp_tpu import _host_fingerprint
+
+            path = (
+                Path(target or os.path.expanduser("~/.cache/mcgp_jax"))
+                / _host_fingerprint()
+            )
             try:
                 path.mkdir(parents=True, exist_ok=True)
             except OSError:

@@ -151,3 +151,41 @@ def test_predictor_elo_cache_roundtrip(tmp_path):
     # _build_elo is now a no-op for processed seasons (no double counting)
     p2._build_elo(2024)
     assert abs(p2.elo_system.get_rating("VER", "race") - r_before) < 1e-4
+
+
+def test_synthetic_world_is_hash_seed_invariant():
+    """The synthetic world must be identical in every process regardless of
+    PYTHONHASHSEED — its per-team pace draws once iterated a string set,
+    which permuted team performance per interpreter and made every
+    statistical gate on synthetic data a different random realization per
+    pytest run (reproducibility contract, CLAUDE.md)."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import numpy as np;"
+        "from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend;"
+        "b = SyntheticBackend(seed=5, n_events=3);"
+        "print(b._skill(2024).tobytes().hex());"
+        "print(sorted(b._team_pace.items())[:2])"
+    )
+    outs = [
+        subprocess.run(
+            [sys.executable, "-c", probe],
+            env={
+                "PYTHONHASHSEED": hs,
+                "PATH": "/usr/bin:/bin",
+                "JAX_PLATFORMS": "cpu",
+            },
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=120,
+        )
+        for hs in ("0", "1", "31337")
+    ]
+    for o in outs:
+        assert o.returncode == 0, o.stderr[-500:]
+    assert outs[0].stdout == outs[1].stdout == outs[2].stdout, [
+        o.stdout for o in outs
+    ]
