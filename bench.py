@@ -22,7 +22,7 @@ REFERENCE_SIMS_PER_SEC = 500.0  # serial Python reference, CPU (BASELINE.md)
 N_DRIVERS = 20
 TOTAL_LAPS = 57
 N_SIMS = 1_048_576
-SIMS_PER_BLOCK = 262_144
+SIMS_PER_BLOCK = 65_536  # swept post-carry-slimming (ops/engine.DEFAULT_BLOCK)
 
 
 def log(msg: str) -> None:

@@ -34,7 +34,11 @@ from monte_carlo_gp_tpu.ops.lap_engine import (
     simulate_lap_1,
 )
 
-DEFAULT_BLOCK = 131_072  # sims per block on TPU (state ~130 MB @ D=20)
+# Sims per block on TPU. Swept post-carry-slimming at 1M sims x 57 laps:
+# 32k -> 0.86M, 64k -> 0.91M, 131k -> 0.83M, 262k -> 0.85M, 524k -> 0.58M
+# sims/s — the slimmed per-lap working set at 64k sims fits the memory
+# hierarchy best.
+DEFAULT_BLOCK = 65_536
 
 # The lap scan is carry-traffic-bound on TPU: every carried (n_sims, D)
 # array is written and re-read through HBM once per lap. The six integer
