@@ -22,7 +22,6 @@ REFERENCE_SIMS_PER_SEC = 500.0  # serial Python reference, CPU (BASELINE.md)
 N_DRIVERS = 20
 TOTAL_LAPS = 57
 N_SIMS = 1_048_576
-SIMS_PER_BLOCK = 65_536  # swept post-carry-slimming (ops/engine.DEFAULT_BLOCK)
 
 
 def log(msg: str) -> None:
@@ -71,12 +70,12 @@ def main() -> None:
 
         log("backend: pallas (fused whole-race kernel)")
     else:
-        from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+        from monte_carlo_gp_tpu.ops.engine import DEFAULT_BLOCK, run_monte_carlo
 
         def run(k):
             return run_monte_carlo(
                 params, k, N_SIMS, TOTAL_LAPS,
-                sims_per_block=min(SIMS_PER_BLOCK, N_SIMS),
+                sims_per_block=min(DEFAULT_BLOCK, N_SIMS),
             )
 
         log("backend: xla lap-scan")
@@ -109,14 +108,14 @@ def main() -> None:
     # regression-tracked alongside the flagship kernel (VERDICT r1 #9).
     xla_sims_per_sec = None
     if on_tpu:
-        from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+        from monte_carlo_gp_tpu.ops.engine import DEFAULT_BLOCK, run_monte_carlo
 
         n_xla = N_SIMS // 4
 
         def run_xla(k):
             return run_monte_carlo(
                 params, k, n_xla, TOTAL_LAPS,
-                sims_per_block=min(SIMS_PER_BLOCK, n_xla),
+                sims_per_block=min(DEFAULT_BLOCK, n_xla),
             )
 
         np.asarray(run_xla(key))  # compile

@@ -60,12 +60,20 @@ def _host_fingerprint() -> str:
     return hashlib.sha256(probe.encode()).hexdigest()[:12]
 
 
-_cache = os.environ.get("MCGP_COMPILE_CACHE", "")
-if _cache != "0":
-    _base = _cache or os.path.expanduser("~/.cache/mcgp_jax")
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.join(_base, _host_fingerprint())
-    )
+def _cache_dir() -> str | None:
+    """Resolved persistent-cache directory, or None when opted out
+    (MCGP_COMPILE_CACHE=0). Single source of truth — utils/jax_setup.py
+    reuses this so the CLIs and the library never disagree on the path."""
+    target = os.environ.get("MCGP_COMPILE_CACHE", "")
+    if target == "0":
+        return None
+    base = target or os.path.expanduser("~/.cache/mcgp_jax")
+    return os.path.join(base, _host_fingerprint())
+
+
+_cache = _cache_dir()
+if _cache is not None:
+    jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 # Development-time numeric sanitizer (SURVEY.md §5): MCGP_DEBUG_NANS=1 makes

@@ -275,14 +275,28 @@ def make_sim_params(
                 "DRS flag into the pace sign bit; a negative lap pace is "
                 "physically meaningless anyway)"
             )
-        deg_np = np.asarray(tire_deg, float)
-        if deg_np.size and not np.all(np.isfinite(deg_np) & (deg_np >= 0.0)):
+    deg_np = np.asarray(tire_deg, float)
+    if deg_np.size and not np.all(np.isfinite(deg_np) & (deg_np >= 0.0)):
+        raise ValueError(
+            "tire_deg must be finite and non-negative (the reference "
+            "clamps it to [0.01, 0.15], features.py:448-490; a negative "
+            "or NaN rate would push overtake pace base_pace + age*deg "
+            "outside the fused kernel's sign-packed domain and corrupt "
+            "the bitcast rank keys)"
+        )
+    # Every other array that reaches the lap-time sum can smuggle the same
+    # NaN into cum_time and corrupt the bitcast rank keys silently.
+    for arr_name, arr in (
+        ("variance", variance),
+        ("dnf_rate", dnf_rate),
+        ("team_dnf_rate", team_dnf_rate),
+        ("grid_probs", grid_probs),
+    ):
+        a = np.asarray(arr, float)
+        if a.size and not np.all(np.isfinite(a)):
             raise ValueError(
-                "tire_deg must be finite and non-negative (the reference "
-                "clamps it to [0.01, 0.15], features.py:448-490; a negative "
-                "or NaN rate would push overtake pace base_pace + age*deg "
-                "outside the fused kernel's sign-packed domain and corrupt "
-                "the bitcast rank keys)"
+                f"{arr_name} must be finite (NaN/inf would corrupt the "
+                "engines' lap times or grid sampling)"
             )
     if active is None:
         active = np.ones((d,), bool)

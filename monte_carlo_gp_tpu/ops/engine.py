@@ -42,11 +42,12 @@ DEFAULT_BLOCK = 65_536
 
 # The lap scan is carry-traffic-bound on TPU: every carried (n_sims, D)
 # array is written and re-read through HBM once per lap. The six integer
-# state fields all fit int8 for any real race (values bounded by the padded
-# lap count, <= ~96), so the carry is narrowed at the scan boundary —
-# lap_step itself stays int32 — cutting carried bytes/car from 38 to 20.
-# The casts fuse into the adjacent loop kernels. Skipped for pathological
-# total_laps where int8 could wrap (tire_age can reach total_laps + 4).
+# state fields all fit int8 under the _NARROW_MAX_LAPS=120 guard (the
+# largest value is tire_age <= total_laps + 4 = 124), so the carry is
+# narrowed at the scan boundary — lap_step itself stays int32 — cutting
+# carried bytes/car from 38 to 17 (2 f32 + 6 int8 + 2 bool + int8 rank;
+# fuel is derived in the decode). The casts fuse into the adjacent loop
+# kernels. Skipped for pathological total_laps where int8 could wrap.
 _NARROW_FIELDS = ("tire_age", "compound", "used_mask", "pit_stops", "laps_done", "dnf_lap")
 _NARROW_MAX_LAPS = 120
 

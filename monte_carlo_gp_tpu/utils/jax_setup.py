@@ -30,16 +30,13 @@ def enable_persistent_compilation_cache(cache_dir: str | Path | None = None) -> 
 
     del cache_dir
     try:
-        target = os.environ.get("MCGP_COMPILE_CACHE", "")
-        if target != "0":
-            # Host-fingerprint subdirectory — see the package __init__:
-            # foreign-machine XLA:CPU AOT entries are unsafe to load.
-            from monte_carlo_gp_tpu import _host_fingerprint
+        # Single source of truth for the path (incl. the host-fingerprint
+        # subdirectory — foreign-machine XLA:CPU AOT entries are unsafe).
+        from monte_carlo_gp_tpu import _cache_dir
 
-            path = (
-                Path(target or os.path.expanduser("~/.cache/mcgp_jax"))
-                / _host_fingerprint()
-            )
+        target = _cache_dir()
+        if target is not None:
+            path = Path(target)
             try:
                 path.mkdir(parents=True, exist_ok=True)
             except OSError:

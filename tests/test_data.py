@@ -179,7 +179,7 @@ def test_synthetic_world_is_hash_seed_invariant():
             },
             capture_output=True,
             text=True,
-            cwd="/root/repo",
+            cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
             timeout=120,
         )
         for hs in ("0", "1", "31337")
