@@ -80,6 +80,15 @@ def main() -> None:
 
         log("backend: xla lap-scan")
 
+    # Separate backend/tunnel initialization from the compile measurement:
+    # the remote TPU tunnel's first dispatch in a process varies from ~3 s
+    # to minutes with tunnel health, which would swamp cold_s.
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    np.asarray(jnp.ones(8).sum())
+    log(f"backend init (tiny op): {time.perf_counter() - t0:.2f}s")
+
     t0 = time.perf_counter()
     arr = np.asarray(run(key))
     compile_s = time.perf_counter() - t0
@@ -132,6 +141,11 @@ def main() -> None:
         "value": round(sims_per_sec, 1),
         "unit": "sims/s",
         "vs_baseline": round(sims_per_sec / REFERENCE_SIMS_PER_SEC, 1),
+        # Cold start (compile+run, before the persistent cache warms). The
+        # round-2 DRS sign-bit packing regressed this 28x (24 -> 681 s via
+        # a Mosaic bitcast pathology, bisected + fixed in round 3); tracked
+        # here so any regression is visible to the driver.
+        "cold_s": round(compile_s, 2),
     }
     if xla_sims_per_sec is not None:
         record["xla_sims_per_sec"] = xla_sims_per_sec

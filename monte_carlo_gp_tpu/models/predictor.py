@@ -374,6 +374,20 @@ class F1Predictor:
         race_laps = (
             None if bucket == plan.total_laps else jnp.int32(plan.total_laps)
         )
+        if engine == "pallas" and plan.params.n_drivers > 32:
+            # The fused kernel's rank keys pack rank*32+row (pallas_engine
+            # `rank_key`), capping the driver axis at 32. The reference
+            # simulator is size-generic (simulation.py:59-100), so 'auto'
+            # must be too: fall back to the XLA lap-scan engine, which has
+            # no field-size limit, instead of raising from the guard.
+            from monte_carlo_gp_tpu.utils.logging import log_event
+
+            log_event(
+                "engine_fallback_xla",
+                reason="n_drivers>32 exceeds the fused kernel's rank-key packing",
+                n_drivers=plan.params.n_drivers,
+            )
+            engine = "xla"
         if engine == "pallas":
             from monte_carlo_gp_tpu.ops.pallas_engine import (
                 run_monte_carlo_pallas,

@@ -88,8 +88,23 @@ def _pack_inputs(params: SimParams, race_laps: jax.Array):
     return pmat, scal, grid_log.astype(jnp.float32)
 
 
+def _ablate_flags() -> frozenset:
+    """Dev-only trace-time ablation switches (MCGP_KERNEL_ABLATE, comma-
+    separated) used by the roofline/compile-time bisect harnesses
+    (docs/KERNEL_DESIGN.md): 'overtakes' drops the whole 3-pass block,
+    'ot_chain' the rewrite chain + write-back, 'ot_decide' the pair
+    decisions, 'ot_extract' the permutation extracts, 'grid' the Gumbel
+    grid sampler. Default (unset) is the production kernel; jit caches by
+    traced structure, so flipping the env var requires a fresh process."""
+    import os
+
+    raw = os.environ.get("MCGP_KERNEL_ABLATE", "")
+    return frozenset(f for f in raw.split(",") if f)
+
+
 def _race_kernel(total_laps: int, d: int, s: int):
     """Build the kernel body for static (laps, drivers, tile sims)."""
+    ablate = _ablate_flags()
 
     def uniform(rows: int = d):
         bits = pltpu.bitcast(pltpu.prng_random_bits((rows, s)), jnp.uint32)
@@ -218,7 +233,9 @@ def _race_kernel(total_laps: int, d: int, s: int):
         # ---- grid sampling: masked Gumbel-max per slot ---------------------
         remaining = active_b
         start_pos = jnp.full((d, s), d, jnp.int32)
-        for pos in range(d):
+        if "grid" in ablate:
+            start_pos = row_iota
+        for pos in range(d if "grid" not in ablate else 0):
             col = gridlog_ref[:, pos : pos + 1]  # (D, 1)
             masked = jnp.where(remaining, col, -INF)
             col_max = jnp.max(masked, axis=0, keepdims=True)
@@ -436,43 +453,54 @@ def _race_kernel(total_laps: int, d: int, s: int):
             # rewritten times back to driver space. DNF'd cars keep their
             # frozen cum position in the chain; their NaN pace makes any
             # pair involving them ineligible, as before.
-            # Pace rides its own sign bit as the DRS flag (pace > 0 always;
-            # DNF'd cars are NaN, whose comparisons are False either way),
-            # so each pass extracts TWO arrays instead of three. The
-            # attacker's pace-with-DRS-bonus is reconstructed from the same
-            # two f32 values the driver-space subtraction would use, so
-            # delta is bitwise identical to the unpacked form.
+            #
+            # Three PLAIN f32 arrays are extracted per pass. An earlier
+            # round packed the DRS flag into the pace sign bit (two arrays,
+            # `abs` + `pltpu.bitcast` sign test after extraction) — that
+            # bitcast on the 20-select extraction chain sent the Mosaic
+            # compile from ~25 s to ~450 s (28x cold-compile regression,
+            # bisected with MCGP_KERNEL_ABLATE); the third extraction costs
+            # ~1% runtime and compiles in seconds. `att` (pace net of the
+            # attacker's DRS bonus) is computed in driver space first, so
+            # `delta` is bitwise identical to both earlier formulations.
             pace = jnp.where(dnf, NAN, base_pace + age * driver_deg)
-            packed = jnp.where(drs, -pace, pace)
-            packed_rows = [packed[j : j + 1, :] for j in range(d)]
+            att = pace - jnp.where(drs, drs_delta, 0.0)
+            pace_rows = [pace[j : j + 1, :] for j in range(d)]
+            att_rows = [att[j : j + 1, :] for j in range(d)]
             pass_active = jnp.ones((1, s), jnp.bool_)
-            for _ in range(3 if d > 1 else 0):
+            n_passes = 3 if d > 1 and "overtakes" not in ablate else 0
+            for _ in range(n_passes):
                 orank = rank_of(rank_key(cum, row_iota))
                 r_cum = jnp.zeros((d, s), jnp.float32)
-                r_pk = jnp.full((d, s), NAN, jnp.float32)
-                for j in range(d):
-                    eq = orank[j : j + 1, :] == row_iota
-                    r_cum = jnp.where(eq, cum[j : j + 1, :], r_cum)
-                    r_pk = jnp.where(eq, packed_rows[j], r_pk)
-                # attacker at position p (rows 1..d-1) vs the car at p-1:
-                # delta = ahead_pace - my_pace + my_drs_bonus (NaN -> False)
-                r_pace = jnp.abs(r_pk)
-                # sign test on the bit pattern: catches -0.0 (pace can be
-                # exactly 0 under degenerate params); +NaN stays positive.
-                drs_bit = pltpu.bitcast(r_pk, jnp.int32) < 0
-                r_att = r_pace - jnp.where(drs_bit, drs_delta, 0.0)
-                delta = r_pace[: d - 1, :] - r_att[1:, :]
-                prob = jnp.minimum(0.5, delta * 0.5)
-                u = uniform()
-                swap = (delta > overtake_delta) & (u[1:, :] < prob) & pass_active
-                rows = [r_cum[p : p + 1, :] for p in range(d)]
-                srows = [None] + [swap[p - 1 : p, :] for p in range(1, d)]
-                for p in range(1, d):
-                    nb = jnp.maximum(0.1, rows[p - 1] - 0.1)
-                    rows[p - 1] = jnp.where(srows[p], nb + 0.3, rows[p - 1])
-                    rows[p] = jnp.where(srows[p], nb, rows[p])
-                for p in range(d):
-                    cum = jnp.where(orank == p, rows[p], cum)
+                r_pace = jnp.full((d, s), NAN, jnp.float32)
+                r_att = jnp.full((d, s), NAN, jnp.float32)
+                if "ot_extract" not in ablate:
+                    for j in range(d):
+                        eq = orank[j : j + 1, :] == row_iota
+                        r_cum = jnp.where(eq, cum[j : j + 1, :], r_cum)
+                        r_pace = jnp.where(eq, pace_rows[j], r_pace)
+                        r_att = jnp.where(eq, att_rows[j], r_att)
+                if "ot_decide" not in ablate:
+                    # attacker at position p (rows 1..d-1) vs the car at
+                    # p-1: delta = ahead_pace - my_pace + my_drs_bonus
+                    # (NaN -> False)
+                    delta = r_pace[: d - 1, :] - r_att[1:, :]
+                    prob = jnp.minimum(0.5, delta * 0.5)
+                    u = uniform()
+                    swap = (delta > overtake_delta) & (u[1:, :] < prob) & pass_active
+                else:
+                    swap = (uniform()[1:, :] < 0.1) & pass_active
+                if "ot_chain" not in ablate:
+                    rows = [r_cum[p : p + 1, :] for p in range(d)]
+                    srows = [None] + [swap[p - 1 : p, :] for p in range(1, d)]
+                    for p in range(1, d):
+                        nb = jnp.maximum(0.1, rows[p - 1] - 0.1)
+                        rows[p - 1] = jnp.where(srows[p], nb + 0.3, rows[p - 1])
+                        rows[p] = jnp.where(srows[p], nb, rows[p])
+                    for p in range(d):
+                        cum = jnp.where(orank == p, rows[p], cum)
+                else:
+                    cum = cum + 0.0 * r_cum
                 pass_active = pass_active & jnp.any(
                     swap, axis=0, keepdims=True
                 )

@@ -264,6 +264,50 @@ def test_simulate_plan_uses_sharded_pallas_on_multidevice(tmp_path):
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
 
 
+def test_simulate_plan_falls_back_to_xla_above_32_drivers():
+    """The fused kernel caps at 32 drivers (rank-key *32+row packing), but
+    the reference simulator is size-generic (simulation.py:59-100) — so
+    simulate_plan(engine='pallas') on a 33-driver field must fall back to
+    the XLA engine and succeed, not raise from the pallas guard."""
+    from monte_carlo_gp_tpu.models import predictor as predictor_mod
+    from monte_carlo_gp_tpu.models.predictor import F1Predictor, WeekendPlan
+
+    d = 33
+    gp = np.full((d, d), 1.0 / d, np.float32)
+    params = make_sim_params(
+        grid_probs=gp,
+        base_pace=90 + 0.05 * np.arange(d),
+        tire_deg=np.full(d, 0.05),
+        variance=np.full(d, 0.15),
+        dnf_rate=np.full(d, 0.001),
+        team_dnf_rate=np.full(d, 0.002),
+        pit_loss=21.0,
+        overtake_delta=0.6,
+    )
+    drivers = [f"D{i:02d}" for i in range(d)]
+    plan = WeekendPlan(
+        params=params,
+        total_laps=10,
+        drivers=drivers,
+        quali_probs={dr: [1.0 / d] * d for dr in drivers},
+        weather={},
+        prediction_point="fp2",
+        grid_is_actual=False,
+    )
+    p = F1Predictor.__new__(F1Predictor)  # engine routing needs no loader
+    p._sims_per_block = None
+    p._engine = "xla"
+    predictor_mod._ALLOW_PALLAS_OFF_TPU = True
+    try:
+        probs = p.simulate_plan(plan, 128, seed=0, engine="pallas")
+    finally:
+        predictor_mod._ALLOW_PALLAS_OFF_TPU = False
+    assert probs.shape == (d, d)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+    # XLA path ran: effective sims are the exact request (no tile rounding).
+    assert p.last_effective_sims == 128
+
+
 def test_engine_pallas_off_tpu_raises_clearly(tmp_path):
     """Explicitly requesting the pallas engine off-TPU must fail with a
     clear error, not a Mosaic lowering crash (interpreter PRNG would return

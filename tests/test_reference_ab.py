@@ -669,3 +669,210 @@ def test_reference_predictor_end_to_end(ref, tmp_path_factory):
         ref.sim.RaceSimulator.run_monte_carlo = old_mc
         if hasattr(ref_loader_mod.fastf1, "Cache"):
             del ref_loader_mod.fastf1.Cache
+
+
+# =============================================================================
+# (e) Backtest harness: the GENUINE reference backtest_model end-to-end
+# =============================================================================
+
+
+def test_reference_backtest_model_end_to_end(ref, tmp_path_factory):
+    """Drive the GENUINE reference backtest harness
+    (/root/reference/src/validation.py:161-209) — fresh-predictor seasons,
+    race walk, swallowed-exception Elo loop, Brier/podium/sklearn-calibration
+    scoring — on the synthetic world, and A/B it against OUR backtest_model
+    in reference-compat mode. Before this test, the harness layer was the
+    only one never driven head-to-head (its metric math was unit-tested
+    against hand values only): a shared misreading of race selection, skip
+    behavior or calibration binning would have passed the whole suite.
+
+    Two comparison planes:
+      1. metric math, EXACT: the reference's scored metrics must equal OUR
+         metric functions applied to the reference's own captured
+         (predictions, actuals) — identical inputs, so equality is floating-
+         point-exact, no MC noise;
+      2. harness-level, statistical: our backtest_model with
+         reference_compat_elo_noop=True (reproduce the reference's silently
+         no-op'd in-season Elo updates, SURVEY.md §3.2 ⚠) and
+         pin_clock=False (reproduce its full-season Elo/feature preload) at
+         the same sim count must agree on n_races, pole Brier (deterministic
+         given data — tight), win Brier / podium accuracy (MC noise —
+         statistical), and calibration bin count.
+    """
+    import random
+
+    import pandas as pd
+
+    import src.data_loader as ref_loader_mod
+    import src.predictor as ref_predictor_mod
+    import src.validation as ref_val
+
+    from monte_carlo_gp_tpu.data.loader import F1DataLoader as OurLoader
+    from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
+    from monte_carlo_gp_tpu.models.features import F1FeatureEngine as OurFeatures
+    from monte_carlo_gp_tpu.models.predictor import F1Predictor as OurPredictor
+    from monte_carlo_gp_tpu.validate import backtest as our_backtest
+    from monte_carlo_gp_tpu.validate import metrics as our_metrics
+
+    # 6 events (Bahrain .. Miami) keep both sprint rounds (China, Miami);
+    # the wet path is driven by the predictor A/B above (Belgium, damp).
+    # Sized so the serial reference side (~180 sims/s Python MC + pandas
+    # feature rescans per race) stays inside a <595 s pytest chunk.
+    N_EVENTS = 6
+    N_SIMS = 2000
+    SEASON = 2024
+    backend = SyntheticBackend(seed=5, n_events=N_EVENTS)
+
+    # --- fastf1 stub for the reference's DIRECT calls ---------------------
+    # validation.get_races/get_actual_results and features call the module
+    # itself: schedule + session results must come from the synthetic world.
+    fake = types.ModuleType("fastf1")
+    fake.get_event_schedule = lambda season: pd.DataFrame(backend.get_schedule(season))
+
+    class _RefSession:
+        def __init__(self, season, event, kind):
+            self.results = backend.load_results(season, event, kind)
+
+        def load(self):
+            pass
+
+    fake.get_session = lambda season, event, kind: _RefSession(season, event, kind)
+
+    class _Cache:
+        @staticmethod
+        def enable_cache(path):
+            pass
+
+    ref_loader_mod.fastf1.Cache = _Cache
+
+    ref_cache = tmp_path_factory.mktemp("ab_backtest_ref")
+
+    def make_ref_predictor():
+        loader = OurLoader(cache_dir=ref_cache, backend=backend)
+        p = ref_predictor_mod.F1Predictor()
+        p.data_loader = loader
+        p.feature_engine = ref.features.F1FeatureEngine(loader)
+        # Capture every prediction dict the harness scores (plane 1).
+        orig_pw = p.predict_weekend
+
+        def capturing_pw(*a, **k):
+            out = orig_pw(*a, **k)
+            captured_preds.append(out)
+            return out
+
+        p.predict_weekend = capturing_pw
+        return p
+
+    captured_preds: list[dict] = []
+    captured_acts: list[dict] = []
+    orig_gar = ref_val.get_actual_results
+
+    def spy_gar(season, race):
+        act = orig_gar(season, race)
+        captured_acts.append(act)
+        return act
+
+    # Reduced sim count: the reference engine is a ~180 sims/s serial Python
+    # loop; 10k sims x 12 races would be ~10 minutes of pure MC.
+    orig_mc = ref.sim.RaceSimulator.run_monte_carlo
+
+    def reduced_mc(self, n_simulations, *a, **k):
+        return orig_mc(self, N_SIMS, *a, **k)
+
+    old_val_fastf1 = ref_val.fastf1
+    old_feat_fastf1 = ref.features.fastf1
+    ref_val.fastf1 = fake
+    ref.features.fastf1 = fake
+    ref_val.get_actual_results = spy_gar
+    ref.sim.RaceSimulator.run_monte_carlo = reduced_mc
+    try:
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        random.seed(0)  # backtest_model re-seeds; this just isolates state
+        ref_result = ref_val.backtest_model(make_ref_predictor, [SEASON], seed=42)
+        print(f"[ab] reference side: {_time.perf_counter() - _t0:.1f}s")
+    finally:
+        ref_val.fastf1 = old_val_fastf1
+        ref.features.fastf1 = old_feat_fastf1
+        ref_val.get_actual_results = orig_gar
+        ref.sim.RaceSimulator.run_monte_carlo = orig_mc
+        if hasattr(ref_loader_mod.fastf1, "Cache"):
+            del ref_loader_mod.fastf1.Cache
+
+    # Every synthetic race predicted, none skipped.
+    assert ref_result["n_races"] == N_EVENTS
+    assert len(captured_preds) == N_EVENTS and len(captured_acts) == N_EVENTS
+
+    # --- plane 1: metric math on IDENTICAL inputs, exact ------------------
+    assert our_metrics.brier_score(
+        [p["pole_probabilities"] for p in captured_preds],
+        [a["pole"] for a in captured_acts],
+    ) == pytest.approx(ref_result["pole_brier"], rel=1e-12)
+    assert our_metrics.brier_score(
+        [p["win_probabilities"] for p in captured_preds],
+        [a["winner"] for a in captured_acts],
+    ) == pytest.approx(ref_result["win_brier"], rel=1e-12)
+    assert our_metrics.podium_accuracy(
+        captured_preds, captured_acts
+    ) == pytest.approx(ref_result["podium_accuracy"], rel=1e-12)
+    our_cal = our_metrics.calibration_analysis(captured_preds, captured_acts)
+    assert our_cal["prob_true"] == pytest.approx(
+        ref_result["calibration_curve"]["prob_true"], rel=1e-12
+    )
+    assert our_cal["prob_pred"] == pytest.approx(
+        ref_result["calibration_curve"]["prob_pred"], rel=1e-12
+    )
+
+    # --- plane 2: our harness end-to-end, reference-compat ----------------
+    our_cache = tmp_path_factory.mktemp("ab_backtest_ours")
+
+    def make_our_predictor():
+        p = OurPredictor(cache_dir=our_cache, backend=backend, engine="xla")
+        p.feature_engine = OurFeatures(p.data_loader, reference_compat=True)
+        return p
+
+    _t0 = _time.perf_counter()
+    our_result = our_backtest.backtest_model(
+        make_our_predictor,
+        [SEASON],
+        seed=42,
+        n_simulations=N_SIMS,
+        reference_compat_elo_noop=True,
+        pin_clock=False,
+        verbose=True,
+    )
+    print(f"[ab] our side: {_time.perf_counter() - _t0:.1f}s")
+    assert our_result["n_races"] == N_EVENTS
+
+    # Pole probabilities are deterministic functions of the data (Elo
+    # softmax + feature shaping, no MC), and the feature/predictor A/B
+    # proves input equality to ~2e-5 — so pole Brier must agree tightly.
+    assert our_result["pole_brier"] == pytest.approx(
+        ref_result["pole_brier"], abs=1e-3
+    )
+    # Win Brier / podium accuracy carry two independent MC runs' noise
+    # (plus the reference's hash-seeded compound fallback, PARITY.md #1).
+    assert our_result["win_brier"] == pytest.approx(
+        ref_result["win_brier"], abs=0.01
+    )
+    max_podium_flips = 3  # near-tie drivers swapping in/out of top-3
+    assert abs(
+        our_result["podium_accuracy"] - ref_result["podium_accuracy"]
+    ) <= max_podium_flips / (3 * N_EVENTS)
+    # Calibration: the binning math is exactly A/B'd in plane 1 on identical
+    # inputs. Across two independently-noisy MC runs the only stable
+    # observable is the bin POLICY: n_bins = min(10, max(2, n/10)) = 10 at
+    # 160 samples on both sides, minus however many bins happen to be empty
+    # (sklearn drops them — 2-3 bins of drift between runs is normal).
+    for res in (our_result, ref_result):
+        curve = res["calibration_curve"]
+        assert 2 <= len(curve["prob_pred"]) <= 10
+        assert len(curve["prob_true"]) == len(curve["prob_pred"])
+        assert all(0.0 <= v <= 1.0 for v in curve["prob_pred"] + curve["prob_true"])
+    # Loose quality sanity only: at 6 races win Brier is too noisy to hold
+    # the random-guess 0.0475 baseline (the synthetic ground-truth accuracy
+    # gate lives in tests/test_data.py at full-season scale); both sides
+    # must land inside the reference CLI's "good" band (backtest.py:40-50).
+    assert our_result["win_brier"] < 0.15
+    assert ref_result["win_brier"] < 0.15
