@@ -303,9 +303,16 @@ def lap_step(
     # `rank` is still the current standings: the event rewrites above are
     # monotone in rank among active cars (SC: leader + rank*0.5; VSC: gaps
     # scaled 0.8; red: leader + rank*0.1) and dnf is untouched, so
-    # re-ranking the rewritten cum would reproduce `rank` exactly (up to
-    # sub-ULP VSC rounding ties, arbitrated by index either way). Saves one
-    # O(D^2) rank build per lap in the scan.
+    # re-ranking the rewritten cum would reproduce `rank` exactly — up to
+    # rank-key QUANTIZE ties a fresh re-rank could arbitrate differently:
+    # sub-ULP VSC rounding, and (the wider window) red-flag/bunched
+    # spacings finer than the integer key's 4-ULP bucket, which exceeds
+    # the 0.1 s red-flag gap once cum is above ~5e5 s (reachable inside
+    # the validated 15,000 s/lap domain — see ops/ranking.rank_by_unique).
+    # Either arbitration only changes which car feeds the dirty-air lookup
+    # in those corner states; both engines reuse the carried rank
+    # consistently, so the effect is distributionally negligible. Saves
+    # one O(D^2) rank build per lap in the scan.
     ahead_last_lap = value_of_car_ahead(cars.last_lap, rank, fill=0.0)
 
     # --- 3. Per-car DNF draw + lap time (simulation.py:186-228) ------------

@@ -102,8 +102,14 @@ def _ablate_flags() -> frozenset:
     return frozenset(f for f in raw.split(",") if f)
 
 
-def _race_kernel(total_laps: int, d: int, s: int):
-    """Build the kernel body for static (laps, drivers, tile sims)."""
+def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
+    """Build the kernel body for static (laps, drivers, tile sims).
+
+    `season=True` builds the race-batched variant: the (flattened) grid
+    spans every race's tiles, the seed row carries the race id (column 3),
+    per-race pmat/grid_log blocks are routed by seed-driven BlockSpec index
+    maps, and scal becomes a (R, _N_SCALARS) table indexed per tile. The
+    simulation body is byte-for-byte the same code."""
     ablate = _ablate_flags()
 
     def uniform(rows: int = d):
@@ -215,17 +221,31 @@ def _race_kernel(total_laps: int, d: int, s: int):
         # a single int32 seed would birthday-collide across many tiles.
         # A third word flags padding tiles (multi-chip sharding pads the tile
         # count to a device multiple); their histograms are zeroed so counts
-        # are bitwise identical under any device count.
+        # are bitwise identical under any device count. Season grids add a
+        # fourth word: the tile's race id (global, so sharding-invariant).
         pltpu.prng_seed(seeds_ref[tile, 0], seeds_ref[tile, 1])
         tile_valid = seeds_ref[tile, 2]
-        scal = scal_ref
-        active = pmat_ref[:, _ACTIVE : _ACTIVE + 1] > 0.5  # (D, 1)
+        if season:
+            # Materialize the race's scalar row into registers ONCE: every
+            # consumer uses a STATIC index, and reading the row lazily via
+            # scal_ref[rid, k] inside the lap loop re-issues dynamic SMEM
+            # loads per lap that Mosaic does not hoist (measured ~2x
+            # whole-kernel).
+            rid = seeds_ref[tile, 3]
+            scal = [scal_ref[rid, k] for k in range(_N_SCALARS)]
+            pmat = pmat_ref[0]  # (1, D, P) race block -> (D, P)
+            gridlog = gridlog_ref[0]
+        else:
+            scal = scal_ref
+            pmat = pmat_ref
+            gridlog = gridlog_ref
+        active = pmat[:, _ACTIVE : _ACTIVE + 1] > 0.5  # (D, 1)
         active_b = jnp.broadcast_to(active, (d, s))
-        base_pace = pmat_ref[:, _BASE : _BASE + 1]
-        driver_deg = pmat_ref[:, _DEG : _DEG + 1]
-        variance = pmat_ref[:, _VAR : _VAR + 1]
-        dnf_rate = pmat_ref[:, _DNF : _DNF + 1]
-        team_dnf = pmat_ref[:, _TEAMDNF : _TEAMDNF + 1]
+        base_pace = pmat[:, _BASE : _BASE + 1]
+        driver_deg = pmat[:, _DEG : _DEG + 1]
+        variance = pmat[:, _VAR : _VAR + 1]
+        dnf_rate = pmat[:, _DNF : _DNF + 1]
+        team_dnf = pmat[:, _TEAMDNF : _TEAMDNF + 1]
         track_cond = scal[_TRACK_COND].astype(jnp.int32)
         drs_delta = scal[_DRS_DELTA]
         overtake_delta = scal[_OVERTAKE_DELTA]
@@ -236,7 +256,7 @@ def _race_kernel(total_laps: int, d: int, s: int):
         if "grid" in ablate:
             start_pos = row_iota
         for pos in range(d if "grid" not in ablate else 0):
-            col = gridlog_ref[:, pos : pos + 1]  # (D, 1)
+            col = gridlog[:, pos : pos + 1]  # (D, 1)
             masked = jnp.where(remaining, col, -INF)
             col_max = jnp.max(masked, axis=0, keepdims=True)
             col_empty = col_max <= -INF / 2
@@ -380,9 +400,17 @@ def _race_kernel(total_laps: int, d: int, s: int):
             # monotone in rank among active cars (SC: leader + rank*0.5;
             # VSC: gaps scaled by 0.8; red: leader + rank*0.1) and dnf is
             # untouched since the carry, so re-ranking cum here would
-            # reproduce `rank` exactly (up to sub-ULP VSC rounding ties,
-            # which rank_key arbitrates by index either way). Saves one
-            # O(D^2) rank pass per lap.
+            # reproduce `rank` exactly — up to rank_key QUANTIZE ties a
+            # fresh re-rank could arbitrate differently: sub-ULP VSC
+            # rounding, and (the wider window) red-flag/bunched spacings
+            # finer than the key's 4-ULP bucket, which exceeds the 0.1 s
+            # red-flag gap once cum is above ~5e5 s (reachable inside the
+            # validated 15,000 s/lap domain — see the rank-key domain note
+            # at _IKEY_BASE). Either reading only changes WHICH car feeds
+            # the dirty-air lookup in those corner states; both engines
+            # reuse the carried rank consistently, so the effect is
+            # distributionally negligible and cross-engine consistent.
+            # Saves one O(D^2) rank pass per lap.
             ahead_llt = value_of_ahead(last_lap, rank, 0.0)
 
             # DNF draw + lap time
@@ -568,35 +596,62 @@ def _race_kernel(total_laps: int, d: int, s: int):
     return kernel
 
 
+def _key_words(k: jax.Array) -> jax.Array:
+    """Fold a PRNG key's data words down to exactly two int32 words, so the
+    seed-row layout — and the kernel's hardcoded column indices — never
+    depend on jax_default_prng_impl (rbg has four words, threefry two)."""
+    data = (
+        jax.random.key_data(k)
+        if jnp.issubdtype(k.dtype, jax.dtypes.prng_key)
+        else k
+    )
+    words = jax.lax.bitcast_convert_type(data, jnp.int32).reshape(-1)
+    n = words.shape[0]  # static per prng impl
+    if n == 1:
+        return jnp.concatenate([words, words])
+    if n > 2:
+        w0, w1 = words[0], words[1]
+        for i in range(2, n):
+            if i % 2 == 0:
+                w0 = w0 ^ words[i]
+            else:
+                w1 = w1 ^ words[i]
+        return jnp.stack([w0, w1])
+    return words
+
+
 def _tile_seeds(key: jax.Array, n_tiles: int, n_valid: int) -> jax.Array:
     """(n_tiles, 3) int32: two seed words derived from each GLOBAL tile
     index's folded key, plus a validity flag (0 for padding tiles beyond
-    `n_valid`). Key impls with more than two data words (rbg has four) are
-    XOR-folded down to two so the layout — and the kernel's hardcoded
-    column indices — never depend on jax_default_prng_impl."""
+    `n_valid`)."""
 
     def tile_seed(t):
-        k = jax.random.fold_in(key, t)
-        data = (
-            jax.random.key_data(k)
-            if jnp.issubdtype(k.dtype, jax.dtypes.prng_key)
-            else k
-        )
-        words = jax.lax.bitcast_convert_type(data, jnp.int32).reshape(-1)
-        n = words.shape[0]  # static per prng impl
-        if n == 1:
-            words = jnp.concatenate([words, words])
-        elif n > 2:
-            w0, w1 = words[0], words[1]
-            for i in range(2, n):
-                if i % 2 == 0:
-                    w0 = w0 ^ words[i]
-                else:
-                    w1 = w1 ^ words[i]
-            words = jnp.stack([w0, w1])
+        words = _key_words(jax.random.fold_in(key, t))
         return jnp.concatenate([words, (t < n_valid).astype(jnp.int32)[None]])
 
     return jax.vmap(tile_seed)(jnp.arange(n_tiles))
+
+
+def _tile_seeds_season(
+    key: jax.Array, n_races: int, tiles_per_race: int, n_total: int
+) -> jax.Array:
+    """(n_total, 4) int32 season seed rows for flat tile r*T + t:
+    [w0, w1, valid, race_id] with (w0, w1) = words(fold_in(fold_in(key, r),
+    t)) — EXACTLY the per-race single-launch seeding for race key
+    fold_in(key, r), which is what makes the season launch bitwise equal,
+    race by race, to R independent `run_monte_carlo_pallas` calls. Rows at
+    or beyond n_races*tiles_per_race are sharding pads (valid 0, race 0)."""
+    n_valid = n_races * tiles_per_race
+
+    def row(flat):
+        r = flat // tiles_per_race
+        t = flat % tiles_per_race
+        words = _key_words(jax.random.fold_in(jax.random.fold_in(key, r), t))
+        valid = (flat < n_valid).astype(jnp.int32)
+        rid = jnp.where(flat < n_valid, r, 0).astype(jnp.int32)
+        return jnp.concatenate([words * valid, valid[None], rid[None]])
+
+    return jax.vmap(row)(jnp.arange(n_total))
 
 
 def _pallas_counts(
@@ -628,6 +683,163 @@ def _pallas_counts(
         with pltpu.force_tpu_interpret_mode():
             return call()
     return call()
+
+
+def _pallas_counts_season(
+    kernel, seeds, pmat_s, scal_s, grid_log_s, n_prog, d, interpret=False
+) -> jax.Array:
+    """Season variant: one flat grid over every race's tiles. Per-race
+    (pmat, grid_log) blocks are routed by the seed row's race-id column via
+    scalar-prefetch-driven index maps; scal is a full (R, _N_SCALARS) SMEM
+    table indexed inside the kernel."""
+
+    def call():
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_prog,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, d, _N_PCOLS),
+                        lambda i, seeds: (seeds[i, 3], 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(
+                        (1, d, d),
+                        lambda i, seeds: (seeds[i, 3], 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, d, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_prog, d, d), jnp.int32),
+        )(seeds, pmat_s, scal_s, grid_log_s)
+
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            return call()
+    return call()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_sims_per_race", "total_laps", "sims_per_tile", "mesh", "sims_axis",
+        "interpret",
+    ),
+)
+def _season_pallas_probs(
+    stacked: SimParams,
+    race_laps: jax.Array,
+    key: jax.Array,
+    n_sims_per_race: int,
+    total_laps: int,
+    sims_per_tile: int,
+    mesh,
+    sims_axis: str,
+    interpret: bool,
+) -> jax.Array:
+    d = stacked.base_pace.shape[-1]
+    n_races = stacked.base_pace.shape[0]
+    tiles_per_race = n_sims_per_race // sims_per_tile
+    n_valid = n_races * tiles_per_race
+    pmat_s, scal_s, grid_log_s = jax.vmap(_pack_inputs)(
+        stacked, race_laps.astype(jnp.float32)
+    )
+    kernel = _race_kernel(total_laps, d, sims_per_tile, season=True)
+
+    if mesh is None:
+        seeds = _tile_seeds_season(key, n_races, tiles_per_race, n_valid)
+        counts = _pallas_counts_season(
+            kernel, seeds, pmat_s, scal_s, grid_log_s, n_valid, d, interpret
+        )
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape[sims_axis]
+        n_prog = -(-n_valid // n_dev) * n_dev
+        seeds = _tile_seeds_season(key, n_races, tiles_per_race, n_prog)
+        local_prog = n_prog // n_dev
+
+        def local_fn(seeds_local, pmat_s, scal_s, grid_log_s):
+            return _pallas_counts_season(
+                kernel, seeds_local, pmat_s, scal_s, grid_log_s,
+                local_prog, d, interpret,
+            )
+
+        counts = jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(sims_axis), P(), P(), P()),
+            out_specs=P(sims_axis),
+            check_vma=False,
+        )(seeds, pmat_s, scal_s, grid_log_s)
+        counts = counts[:n_valid]
+
+    per_race = jnp.sum(
+        counts.reshape(n_races, tiles_per_race, d, d), axis=1
+    )
+    return per_race.astype(jnp.float32) / n_sims_per_race
+
+
+def run_monte_carlo_pallas_season(
+    params_list: list[SimParams],
+    race_laps_list: list[int],
+    key: jax.Array,
+    n_sims_per_race: int,
+    total_laps: int | None = None,
+    sims_per_tile: int = DEFAULT_SIMS_PER_TILE,
+    mesh=None,
+    sims_axis: str = "sims",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Race-batched fused kernel: ONE Pallas launch whose flat tile grid
+    spans every race of a season -> (R, D, D) finish probabilities.
+
+    This is BASELINE.md's "full-season backtest sharded across chips"
+    configuration on the flagship kernel: per-race parameters are stacked
+    (driver axis padded to the widest field, inactive slots retire before
+    the start), each race's actual lap count masks a shared compile bucket,
+    and with a mesh the flat tile grid is sharded over `sims_axis` — chips
+    process whole tiles regardless of race boundaries, so load balance does
+    not depend on tiles_per_race >= n_chips.
+
+    Contract: race r's probabilities are BITWISE equal to
+    `run_monte_carlo_pallas(params_r, fold_in(key, r), n_sims_per_race,
+    total_laps, sims_per_tile, race_laps=laps_r)` — the season launch is
+    the same computation with the per-race host sync and launch overhead
+    removed — and independent of device count (global seed rows +
+    padded-tile zeroing)."""
+    from monte_carlo_gp_tpu.parallel.sharded import stack_params
+
+    if n_sims_per_race % sims_per_tile != 0:
+        raise ValueError(
+            f"n_sims_per_race={n_sims_per_race} must be a multiple of "
+            f"sims_per_tile={sims_per_tile}"
+        )
+    stacked, d_max = stack_params(params_list)
+    if d_max > 32:
+        raise ValueError(
+            "the fused kernel's rank keys pack *32+row (rank_key): driver "
+            "axis is limited to 32; use the XLA season path for larger fields"
+        )
+    if len(race_laps_list) != len(params_list):
+        raise ValueError("race_laps_list must match params_list")
+    if total_laps is None:
+        total_laps = max(int(l) for l in race_laps_list)
+    if any(int(l) > total_laps for l in race_laps_list):
+        raise ValueError("race_laps beyond the compile bucket")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    race_laps = jnp.asarray([int(l) for l in race_laps_list], jnp.int32)
+    return _season_pallas_probs(
+        stacked, race_laps, key, n_sims_per_race, total_laps, sims_per_tile,
+        mesh, sims_axis, interpret,
+    )
 
 
 def run_monte_carlo_pallas(

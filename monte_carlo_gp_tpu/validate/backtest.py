@@ -285,11 +285,45 @@ def backtest_model_batched(
                     print(f"Skipping {season} {race}: {e}")
         if not plans:
             continue
-        if engine == "pallas":
-            # Single-chip fast path: the fused whole-race kernel per race
-            # (~2.6x the vmapped XLA engine on one chip); the 'xla' path
-            # shards races x sims across a mesh for multi-chip scale-out.
-            # A list (not a stack): driver counts may differ across races.
+        if engine == "pallas" and max(p.params.n_drivers for p in plans) <= 32:
+            # Flagship-kernel season: ONE race-batched Pallas launch whose
+            # flat tile grid spans every race (driver axis padded to the
+            # widest field, per-race lap counts masking a shared compile
+            # bucket), sharded over all chips when more than one is
+            # present. Removes the per-race host sync + launch overhead of
+            # the old per-race loop and keeps per-chip throughput at the
+            # single-race kernel's rate (measured in PARITY.md).
+            import numpy as _np
+
+            from monte_carlo_gp_tpu.models.predictor import _lap_bucket
+            from monte_carlo_gp_tpu.ops.pallas_engine import (
+                run_monte_carlo_pallas_season,
+            )
+
+            tile = min(1024, int(n_simulations))
+            n_eff = -(-int(n_simulations) // tile) * tile
+            bucket = max(_lap_bucket(p.total_laps) for p in plans)
+            pmesh = None
+            if len(jax.devices()) > 1:
+                from monte_carlo_gp_tpu.parallel.mesh import make_mesh
+
+                pmesh = make_mesh({"sims": len(jax.devices())})
+            season_probs = _np.asarray(
+                run_monte_carlo_pallas_season(
+                    [p.params for p in plans],
+                    [p.total_laps for p in plans],
+                    jax.random.PRNGKey(seed * 1_000_003 + season),
+                    n_eff,
+                    total_laps=bucket,
+                    sims_per_tile=tile,
+                    mesh=pmesh,
+                )
+            )
+            predictor.last_effective_sims = n_eff
+            probs = list(season_probs)
+        elif engine == "pallas":
+            # >32-driver fields exceed the fused kernel's rank-key packing:
+            # per-race simulate_plan falls back to the XLA engine per race.
             probs = [
                 predictor.simulate_plan(
                     plan, n_simulations, seed * 1_000_003 + season * 100 + r,

@@ -243,6 +243,107 @@ def test_sharded_matches_single_bitwise_any_device_count():
         np.testing.assert_array_equal(single, sharded)
 
 
+def test_season_launch_matches_per_race_bitwise():
+    """The race-batched season launch must be bitwise equal, race by race,
+    to independent single-race launches with keys fold_in(key, r) — its
+    documented contract — including a padded mixed-driver-count season and
+    per-race lap masking. (On CPU both sides run the interpreter with the
+    all-zero PRNG; the same equality is re-verified with live draws on TPU
+    below.)"""
+    from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas_season
+    from monte_carlo_gp_tpu.parallel.sharded import stack_params
+
+    plist = [small_params(8), small_params(7), small_params(6)]
+    laps = [12, 10, 9]
+    key = jax.random.PRNGKey(7)
+    season = np.asarray(
+        run_monte_carlo_pallas_season(
+            plist, laps, key, 256, total_laps=12, sims_per_tile=64
+        )
+    )
+    assert season.shape == (3, 8, 8)
+    stacked, _ = stack_params(plist)
+    for r in range(3):
+        pr = jax.tree_util.tree_map(lambda x: x[r], stacked)
+        single = np.asarray(
+            run_monte_carlo_pallas(
+                pr, jax.random.fold_in(key, r), 256, 12, sims_per_tile=64,
+                interpret=not ON_TPU,
+                race_laps=jax.numpy.int32(laps[r]),
+            )
+        )
+        np.testing.assert_array_equal(season[r], single)
+        # real drivers always classify inside positions 1..d (padded slots
+        # retire before the start and rank last)
+        d = plist[r].n_drivers
+        np.testing.assert_allclose(season[r][:d, :d].sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_season_launch_sharded_bitwise_any_device_count():
+    """Sharding the season's flat tile grid over any device count must not
+    change a bit (global seed rows carry the race id + validity)."""
+    from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas_season
+    from monte_carlo_gp_tpu.parallel.mesh import make_mesh
+
+    plist = [small_params(8), small_params(6)]
+    laps = [10, 9]
+    key = jax.random.PRNGKey(11)
+    # 2 races x 5 tiles = 10 tiles: not divisible by 8 or 4 devices
+    base = np.asarray(
+        run_monte_carlo_pallas_season(
+            plist, laps, key, 160, total_laps=10, sims_per_tile=32
+        )
+    )
+    for n_dev in (len(jax.devices()), max(1, len(jax.devices()) // 2)):
+        mesh = make_mesh({"sims": n_dev}, devices=jax.devices()[:n_dev])
+        sharded = np.asarray(
+            run_monte_carlo_pallas_season(
+                plist, laps, key, 160, total_laps=10, sims_per_tile=32,
+                mesh=mesh,
+            )
+        )
+        np.testing.assert_array_equal(base, sharded)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires real TPU")
+@pytest.mark.slow
+def test_season_launch_matches_per_race_bitwise_on_tpu():
+    """Hardware re-run of the season<->single-race bitwise contract with
+    live PRNG draws (the CPU interpreter's zero PRNG makes every car DNF on
+    lap 1, so only the TPU run exercises param routing distributionally)."""
+    from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas_season
+    from monte_carlo_gp_tpu.parallel.sharded import stack_params
+
+    p0 = small_params(8)
+    import dataclasses
+
+    p1 = dataclasses.replace(
+        p0, base_pace=jax.numpy.asarray(np.asarray(p0.base_pace)[::-1].copy())
+    )
+    plist = [p0, p1]
+    laps = [12, 10]
+    key = jax.random.PRNGKey(5)
+    season = np.asarray(
+        run_monte_carlo_pallas_season(
+            plist, laps, key, 2048, total_laps=12, sims_per_tile=256
+        )
+    )
+    stacked, _ = stack_params(plist)
+    for r in range(2):
+        pr = jax.tree_util.tree_map(lambda x: x[r], stacked)
+        single = np.asarray(
+            run_monte_carlo_pallas(
+                pr, jax.random.fold_in(key, r), 2048, 12, sims_per_tile=256,
+                race_laps=jax.numpy.int32(laps[r]),
+            )
+        )
+        np.testing.assert_array_equal(season[r], single)
+    # reversed pace must actually route: race 1's finish order inverts
+    mp0 = (season[0] * (np.arange(8) + 1)).sum(axis=1)
+    mp1 = (season[1] * (np.arange(8) + 1)).sum(axis=1)
+    assert mp0[0] < mp0[7] and mp1[0] > mp1[7], (mp0, mp1)
+
+
 def test_simulate_plan_uses_sharded_pallas_on_multidevice(tmp_path):
     """simulate_plan(engine='pallas') on a multi-device host must route
     through the sharded kernel and produce a valid histogram."""

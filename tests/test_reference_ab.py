@@ -128,8 +128,16 @@ def matching_hashseed():
 def _run_reference(
     sc, laps, n_sims, seed, hashseed, tmpdir, track_condition="dry",
     pit_loss=21.0, overtake_delta=0.6, sc_p=0.01, vsc_p=0.015, red_p=0.002,
+    n_procs=1,
 ):
-    """Drive the genuine reference engine in a hash-pinned subprocess."""
+    """Drive the genuine reference engine in hash-pinned subprocesses.
+
+    `n_procs` > 1 shards `n_sims` over that many runner subprocesses with
+    distinct derived seeds and averages the finish-probability matrices —
+    the reference is a ~180 sims/s serial Python loop, so sharding is what
+    makes >=40k-sim tight-tolerance comparisons affordable on multi-core
+    machines (they run concurrently up to os.cpu_count(); a single-core CI
+    box degrades to sequential with identical results)."""
     import json
     import os
     import subprocess
@@ -137,31 +145,53 @@ def _run_reference(
     from monte_carlo_gp_tpu import config as cfg
 
     d = len(sc["base_pace"])
-    in_path = Path(tmpdir) / "ref_in.npz"
-    out_path = Path(tmpdir) / "ref_out.npy"
-    meta = dict(
-        d=d, laps=laps, n_sims=n_sims, seed=seed,
-        track_condition=track_condition, pit_loss=pit_loss,
-        overtake_delta=overtake_delta, sc_p=sc_p, vsc_p=vsc_p, red_p=red_p,
-        tire_compounds={k: dict(v) for k, v in cfg.TIRE_COMPOUNDS.items()},
-    )
-    np.savez(
-        in_path,
-        meta_json=json.dumps(meta),
-        grid_probs=np.asarray(sc["grid_probs"], np.float64),
-        base_pace=np.asarray(sc["base_pace"], np.float64),
-        tire_deg=np.asarray(sc["tire_deg"], np.float64),
-        variance=np.asarray(sc["variance"], np.float64),
-        dnf_rate=np.asarray(sc["dnf_rate"], np.float64),
-    )
+    assert n_sims % n_procs == 0, (n_sims, n_procs)
+    shard_sims = n_sims // n_procs
     runner = Path(__file__).parent / "ref_engine_runner.py"
-    subprocess.run(
-        [sys.executable, str(runner), str(in_path), str(out_path)],
-        env={**os.environ, "PYTHONHASHSEED": hashseed},
-        check=True,
-        capture_output=True,
-    )
-    return np.load(out_path)
+    env = {**os.environ, "PYTHONHASHSEED": hashseed}
+    max_conc = max(1, min(n_procs, os.cpu_count() or 1))
+
+    jobs = []
+    for shard in range(n_procs):
+        in_path = Path(tmpdir) / f"ref_in_{shard}.npz"
+        out_path = Path(tmpdir) / f"ref_out_{shard}.npy"
+        meta = dict(
+            d=d, laps=laps, n_sims=shard_sims,
+            seed=seed if n_procs == 1 else seed + 104729 * (shard + 1),
+            track_condition=track_condition, pit_loss=pit_loss,
+            overtake_delta=overtake_delta, sc_p=sc_p, vsc_p=vsc_p, red_p=red_p,
+            tire_compounds={k: dict(v) for k, v in cfg.TIRE_COMPOUNDS.items()},
+        )
+        np.savez(
+            in_path,
+            meta_json=json.dumps(meta),
+            grid_probs=np.asarray(sc["grid_probs"], np.float64),
+            base_pace=np.asarray(sc["base_pace"], np.float64),
+            tire_deg=np.asarray(sc["tire_deg"], np.float64),
+            variance=np.asarray(sc["variance"], np.float64),
+            dnf_rate=np.asarray(sc["dnf_rate"], np.float64),
+        )
+        jobs.append((in_path, out_path))
+
+    running: list[tuple[subprocess.Popen, Path]] = []
+    results = []
+
+    def _drain(block_all=False):
+        while running and (block_all or len(running) >= max_conc):
+            proc, out_path = running.pop(0)
+            stdout, stderr = proc.communicate()
+            assert proc.returncode == 0, (proc.returncode, stderr[-2000:])
+            results.append(np.load(out_path))
+
+    for in_path, out_path in jobs:
+        _drain()
+        proc = subprocess.Popen(
+            [sys.executable, str(runner), str(in_path), str(out_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        running.append((proc, out_path))
+    _drain(block_all=True)
+    return np.mean(results, axis=0)  # equal shard sizes -> plain mean
 
 
 def _compare(ref_probs, probs, n_ref, n_ours, tv_bound, z_bound=4.5):
@@ -218,6 +248,36 @@ def test_reference_engine_vs_xla_and_native_20drv_57laps(
         _compare(ref_probs, native, n_ref, n_nat, tv_bound=0.025)
 
 
+def test_reference_engine_vs_native_tight(ref, matching_hashseed, tmp_path):
+    """Tight genuine-reference link at native-oracle resolution (the round-2
+    suite's tight bounds all rested on the builder-written C++ oracle; the
+    genuine article only confirmed at TV 0.03). 40,960 REAL reference sims
+    (8 sharded hash-pinned subprocesses) vs 393,216 native-oracle sims:
+    combined MC noise floor is sqrt(1/40960 + 1/393216) ~ 0.0052 per cell,
+    observed max per-driver TV 0.0104 (mean 0.0061); the 0.015 bound is
+    <=2x the per-cell floor and ~1.5x the observed max, so the genuine
+    reference itself now pins the event model at the resolution the oracle
+    tests use. (The fused kernel inherits the link
+    transitively: native<->pallas is tested at 262k/262k on TPU.)"""
+    from monte_carlo_gp_tpu.config import make_sim_params
+    from monte_carlo_gp_tpu.validate.native_oracle import available, run_native_oracle
+
+    if not available():
+        pytest.skip("native oracle unavailable (g++)")
+    d, laps = 20, 57
+    sc = _scenario(d)
+    n_ref = 40_960
+    ref_probs = _run_reference(
+        sc, laps, n_ref, 42, matching_hashseed, tmp_path, n_procs=8
+    )
+    params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
+    n_nat = 393_216
+    native = run_native_oracle(params, seed=11, n_sims=n_nat, total_laps=laps)
+    tv = 0.5 * np.abs(ref_probs - native).sum(axis=1)
+    print(f"[tight A/B] max per-driver TV: {tv.max():.4f} (mean {tv.mean():.4f})")
+    _compare(ref_probs, native, n_ref, n_nat, tv_bound=0.015)
+
+
 def test_reference_engine_vs_pallas_on_tpu(ref, matching_hashseed, tmp_path):
     """Direct genuine-reference <-> fused-kernel link (otherwise transitive
     through the native oracle): 20k real reference sims vs 262k Pallas sims
@@ -242,6 +302,20 @@ def test_reference_engine_vs_pallas_on_tpu(ref, matching_hashseed, tmp_path):
     _compare(ref_probs, pallas, n_ref, n_pal, tv_bound=0.03)
 
 
+def _stress_native(sc, params, ref_probs, n_ref, laps):
+    """Stress-scenario tight side: 131,072 native-oracle sims against the
+    sharded 24k genuine-reference run (combined noise ~0.007 per cell at
+    d=10; 0.025 is ~2.5x the observed max TV)."""
+    from monte_carlo_gp_tpu.validate.native_oracle import available, run_native_oracle
+
+    if not available():
+        return
+    native = run_native_oracle(params, seed=23, n_sims=131_072, total_laps=laps)
+    tv = 0.5 * np.abs(ref_probs - native).sum(axis=1)
+    print(f"[stress tight A/B] max per-driver TV: {tv.max():.4f}")
+    _compare(ref_probs, native, n_ref, 131_072, tv_bound=0.025)
+
+
 def test_reference_engine_event_heavy(ref, matching_hashseed, tmp_path):
     """SC/VSC/red-flag handlers dominate: ~4 events per race."""
     import jax
@@ -251,10 +325,10 @@ def test_reference_engine_event_heavy(ref, matching_hashseed, tmp_path):
 
     d, laps = 10, 30
     sc = _scenario(d, seed=9)
-    n_ref = 6_000
+    n_ref = 24_000
     ref_probs = _run_reference(
         sc, laps, n_ref, 7, matching_hashseed, tmp_path,
-        sc_p=0.08, vsc_p=0.1, red_p=0.01,
+        sc_p=0.08, vsc_p=0.1, red_p=0.01, n_procs=8,
     )
     params = make_sim_params(
         pit_loss=21.0, overtake_delta=0.6,
@@ -262,7 +336,8 @@ def test_reference_engine_event_heavy(ref, matching_hashseed, tmp_path):
     )
     n_xla = 32_768
     xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(7), n_xla, laps))
-    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.06)
+    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.04)
+    _stress_native(sc, params, ref_probs, n_ref, laps)
 
 
 def test_reference_engine_damp(ref, matching_hashseed, tmp_path):
@@ -274,16 +349,18 @@ def test_reference_engine_damp(ref, matching_hashseed, tmp_path):
 
     d, laps = 10, 30
     sc = _scenario(d, seed=13)
-    n_ref = 6_000
+    n_ref = 24_000
     ref_probs = _run_reference(
-        sc, laps, n_ref, 5, matching_hashseed, tmp_path, track_condition="damp"
+        sc, laps, n_ref, 5, matching_hashseed, tmp_path, track_condition="damp",
+        n_procs=8,
     )
     params = make_sim_params(
         pit_loss=21.0, overtake_delta=0.6, track_condition="damp", **sc
     )
     n_xla = 32_768
     xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(5), n_xla, laps))
-    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.06)
+    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.04)
+    _stress_native(sc, params, ref_probs, n_ref, laps)
 
 
 def test_reference_engine_full_wet(ref, matching_hashseed, tmp_path):
@@ -295,16 +372,18 @@ def test_reference_engine_full_wet(ref, matching_hashseed, tmp_path):
 
     d, laps = 10, 30
     sc = _scenario(d, seed=21)
-    n_ref = 6_000
+    n_ref = 24_000
     ref_probs = _run_reference(
-        sc, laps, n_ref, 9, matching_hashseed, tmp_path, track_condition="wet"
+        sc, laps, n_ref, 9, matching_hashseed, tmp_path, track_condition="wet",
+        n_procs=8,
     )
     params = make_sim_params(
         pit_loss=21.0, overtake_delta=0.6, track_condition="wet", **sc
     )
     n_xla = 32_768
     xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(9), n_xla, laps))
-    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.06)
+    _compare(ref_probs, xla, n_ref, n_xla, tv_bound=0.04)
+    _stress_native(sc, params, ref_probs, n_ref, laps)
 
 
 # =============================================================================

@@ -156,6 +156,24 @@ def test_batched_backtest_matches_sequential_scores(tmp_path):
 
 
 @pytest.mark.slow
+def test_batched_backtest_pallas_season_structure(tmp_path):
+    """engine='pallas' batched mode routes the whole season through ONE
+    race-batched fused-kernel launch. Off-TPU that runs the interpreter
+    (zero PRNG — structure only): valid per-race simplexes, n_races, and
+    the tile-rounded effective sim count must come back."""
+    from monte_carlo_gp_tpu.validate.backtest import backtest_model_batched
+
+    res = backtest_model_batched(
+        _factory(tmp_path, n_events=3), [2024], seed=4, n_simulations=300,
+        engine="pallas", verbose=False,
+    )
+    assert res["n_races"] == 3
+    for pred in [res]:
+        assert 0.0 <= pred["pole_brier"] <= 1.0
+        assert 0.0 <= pred["win_brier"] <= 1.0
+
+
+@pytest.mark.slow
 def test_synthetic_ground_truth_accuracy_gate(tmp_path):
     """End-to-end 'does the pipeline actually predict' gate (SURVEY §4):
     backtest a synthetic season where the right answer (latent driver skill)
