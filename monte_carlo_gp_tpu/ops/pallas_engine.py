@@ -147,6 +147,41 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
             r += before.astype(jnp.int32)
         return r
 
+    def gather_rows(x, idx):
+        """out[i, lane] = x[idx[i, lane], lane], idx in [0, d) — a per-lane
+        SUBLANE gather via tpu.dynamic_gather (take_along_axis). Mosaic
+        supports it only with idx.shape == src.shape and a single source
+        vreg (<=8 rows) along the gather dim, so the d-row gather is
+        decomposed into (8-row out) x (8-row src) blocks combined by range
+        selects: ~9 one-vreg gathers + 6 selects at D=20, an order of
+        magnitude fewer vreg-ops than the 20-step broadcast/select
+        extraction chain it replaces (and bitwise-identical values). Rows
+        pad to a multiple of 8; pad rows are never selected (idx < d)."""
+        d8 = -(-d // 8) * 8
+        xp, ip = x, idx
+        if d8 != d:
+            xp = jnp.concatenate(
+                [x, jnp.zeros((d8 - d, s), x.dtype)], axis=0
+            )
+            ip = jnp.concatenate(
+                [idx, jnp.zeros((d8 - d, s), idx.dtype)], axis=0
+            )
+        bases = list(range(0, d8, 8))
+        out_blocks = []
+        for ob in bases:
+            idx_b = ip[ob : ob + 8, :]
+            acc = None
+            for sb in bases:
+                src = xp[sb : sb + 8, :]
+                local = jnp.clip(idx_b - sb, 0, 7)
+                g = jnp.take_along_axis(src, local, axis=0)
+                acc = g if acc is None else jnp.where(idx_b >= sb, g, acc)
+            out_blocks.append(acc)
+        out = out_blocks[0] if len(out_blocks) == 1 else jnp.concatenate(
+            out_blocks, axis=0
+        )
+        return out[:d, :]
+
     # Unique integer sort keys ~ (cum, row index) lexicographic.
     #
     # Exact f32 cum ties are REAL and systematic, not measure-zero: cum sits
@@ -493,21 +528,22 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
             # `delta` is bitwise identical to both earlier formulations.
             pace = jnp.where(dnf, NAN, base_pace + age * driver_deg)
             att = pace - jnp.where(drs, drs_delta, 0.0)
-            pace_rows = [pace[j : j + 1, :] for j in range(d)]
-            att_rows = [att[j : j + 1, :] for j in range(d)]
             pass_active = jnp.ones((1, s), jnp.bool_)
             n_passes = 3 if d > 1 and "overtakes" not in ablate else 0
             for _ in range(n_passes):
                 orank = rank_of(rank_key(cum, row_iota))
-                r_cum = jnp.zeros((d, s), jnp.float32)
-                r_pace = jnp.full((d, s), NAN, jnp.float32)
-                r_att = jnp.full((d, s), NAN, jnp.float32)
+                # inverse permutation: inv[p] = driver at position p (one
+                # relational chain); the three position-space arrays then
+                # come from ONE index via sublane gathers instead of three
+                # 20-step broadcast/select chains — bitwise-identical
+                # values, measured ~0.5x the vreg-ops.
+                inv = jnp.zeros((d, s), jnp.int32)
                 if "ot_extract" not in ablate:
                     for j in range(d):
-                        eq = orank[j : j + 1, :] == row_iota
-                        r_cum = jnp.where(eq, cum[j : j + 1, :], r_cum)
-                        r_pace = jnp.where(eq, pace_rows[j], r_pace)
-                        r_att = jnp.where(eq, att_rows[j], r_att)
+                        inv = jnp.where(orank[j : j + 1, :] == row_iota, j, inv)
+                r_cum = gather_rows(cum, inv)
+                r_pace = gather_rows(pace, inv)
+                r_att = gather_rows(att, inv)
                 if "ot_decide" not in ablate:
                     # attacker at position p (rows 1..d-1) vs the car at
                     # p-1: delta = ahead_pace - my_pace + my_drs_bonus
@@ -525,8 +561,9 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
                         nb = jnp.maximum(0.1, rows[p - 1] - 0.1)
                         rows[p - 1] = jnp.where(srows[p], nb + 0.3, rows[p - 1])
                         rows[p] = jnp.where(srows[p], nb, rows[p])
-                    for p in range(d):
-                        cum = jnp.where(orank == p, rows[p], cum)
+                    final = jnp.concatenate(rows, axis=0)
+                    # write-back = gather by each driver's own position
+                    cum = gather_rows(final, orank)
                 else:
                     cum = cum + 0.0 * r_cum
                 pass_active = pass_active & jnp.any(
@@ -654,6 +691,28 @@ def _tile_seeds_season(
     return jax.vmap(row)(jnp.arange(n_total))
 
 
+# Mosaic allocates each scalar-prefetch ROW 512 bytes of SMEM regardless of
+# its width (observed: a (2048, 3) int32 seed array claims u8[1048576] —
+# the full 1 MB of SMEM — and the compile dies "Ran out of memory in memory
+# space smem"). Launches are therefore chunked at this many programs; the
+# kernel indexes seeds by LOCAL program id, so slicing the global seed rows
+# per chunk is bitwise-equivalent to one big launch (same property the
+# sharded paths rely on).
+_MAX_PREFETCH_ROWS = 1024
+
+
+def _chunked_over_rows(fn, seeds, n_rows):
+    """Run fn(seeds_chunk, n_chunk) over <=_MAX_PREFETCH_ROWS slices of the
+    global seed rows and concatenate the per-program outputs."""
+    if n_rows <= _MAX_PREFETCH_ROWS:
+        return fn(seeds, n_rows)
+    outs = []
+    for lo in range(0, n_rows, _MAX_PREFETCH_ROWS):
+        hi = min(lo + _MAX_PREFETCH_ROWS, n_rows)
+        outs.append(fn(seeds[lo:hi], hi - lo))
+    return jnp.concatenate(outs, axis=0)
+
+
 def _pallas_counts(
     kernel, seeds, pmat, scal, grid_log, n_tiles, d, interpret=False
 ) -> jax.Array:
@@ -662,7 +721,15 @@ def _pallas_counts(
     `interpret=True` runs the Pallas TPU interpreter (needed off-TPU:
     Mosaic primitives like prng_seed have no CPU lowering; interpreter PRNG
     returns zeros, so this validates structure, not distributions)."""
+    return _chunked_over_rows(
+        lambda se, n: _pallas_counts_one(kernel, se, pmat, scal, grid_log, n, d, interpret),
+        seeds, n_tiles,
+    )
 
+
+def _pallas_counts_one(
+    kernel, seeds, pmat, scal, grid_log, n_tiles, d, interpret=False
+) -> jax.Array:
     def call():
         return pl.pallas_call(
             kernel,
@@ -691,8 +758,19 @@ def _pallas_counts_season(
     """Season variant: one flat grid over every race's tiles. Per-race
     (pmat, grid_log) blocks are routed by the seed row's race-id column via
     scalar-prefetch-driven index maps; scal is a full (R, _N_SCALARS) SMEM
-    table indexed inside the kernel."""
+    table indexed inside the kernel. Chunked at _MAX_PREFETCH_ROWS programs
+    (SMEM prefetch-row budget) like the single-race launch."""
+    return _chunked_over_rows(
+        lambda se, n: _pallas_counts_season_one(
+            kernel, se, pmat_s, scal_s, grid_log_s, n, d, interpret
+        ),
+        seeds, n_prog,
+    )
 
+
+def _pallas_counts_season_one(
+    kernel, seeds, pmat_s, scal_s, grid_log_s, n_prog, d, interpret=False
+) -> jax.Array:
     def call():
         return pl.pallas_call(
             kernel,

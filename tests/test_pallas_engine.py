@@ -56,9 +56,12 @@ def test_rejects_bad_tile_split():
 
 
 def test_rejects_negative_pace_and_deg():
-    """The fused kernel packs the DRS flag into the pace sign bit, so
-    negative base_pace / tire_deg (both physically meaningless) are
-    rejected at SimParams construction."""
+    """Negative base_pace / tire_deg (both physically meaningless) are
+    rejected at SimParams construction. Historical note: round 2's kernel
+    packed the DRS flag into the pace sign bit, which REQUIRED this;
+    round 3 removed the packing (Mosaic bitcast compile bomb,
+    KERNEL_DESIGN.md) but the validation stays — it is a documented,
+    tested tightening (ADVICE r2 #2)."""
     d = 4
     gp = np.eye(d, dtype=np.float32)
     common = dict(
@@ -419,6 +422,41 @@ def test_engine_pallas_off_tpu_raises_clearly(tmp_path):
 
     with pytest.raises(ValueError, match="requires a TPU"):
         resolve_engine("pallas")
+
+
+def test_prefetch_chunking_bitwise(monkeypatch):
+    """Launches above _MAX_PREFETCH_ROWS programs are split into chunked
+    pallas_calls (Mosaic budgets 512 B of SMEM per scalar-prefetch ROW, so
+    ~2k seed rows exhaust the 1 MB SMEM and the compile dies). The kernel
+    indexes seeds by LOCAL program id, so chunking must be bitwise-invisible
+    — asserted here by forcing a tiny chunk size on both the single-race
+    and season launches."""
+    from monte_carlo_gp_tpu.ops import pallas_engine as pe
+    from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas_season
+
+    params = small_params()
+    key = jax.random.PRNGKey(9)
+    kw = dict(interpret=not ON_TPU)
+    base = np.asarray(
+        run_monte_carlo_pallas(params, key, 640, 10, sims_per_tile=64, **kw)
+    )
+    plist = [small_params(8), small_params(6)]
+    season_base = np.asarray(
+        run_monte_carlo_pallas_season(
+            plist, [10, 9], key, 192, total_laps=10, sims_per_tile=64
+        )
+    )
+    monkeypatch.setattr(pe, "_MAX_PREFETCH_ROWS", 3)
+    chunked = np.asarray(
+        run_monte_carlo_pallas(params, key, 640, 10, sims_per_tile=64, **kw)
+    )
+    np.testing.assert_array_equal(base, chunked)
+    season_chunked = np.asarray(
+        run_monte_carlo_pallas_season(
+            plist, [10, 9], key, 192, total_laps=10, sims_per_tile=64
+        )
+    )
+    np.testing.assert_array_equal(season_base, season_chunked)
 
 
 def test_small_grid_traces():
