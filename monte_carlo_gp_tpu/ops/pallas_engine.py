@@ -147,40 +147,53 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
             r += before.astype(jnp.int32)
         return r
 
-    def gather_rows(x, idx):
-        """out[i, lane] = x[idx[i, lane], lane], idx in [0, d) — a per-lane
-        SUBLANE gather via tpu.dynamic_gather (take_along_axis). Mosaic
-        supports it only with idx.shape == src.shape and a single source
-        vreg (<=8 rows) along the gather dim, so the d-row gather is
+    def gather_rows_multi(xs, idx):
+        """out_k[i, lane] = xs[k][idx[i, lane], lane], idx in [0, d) — a
+        per-lane SUBLANE gather via tpu.dynamic_gather (take_along_axis).
+        Mosaic supports it only with idx.shape == src.shape and a single
+        source vreg (<=8 rows) along the gather dim, so the d-row gather is
         decomposed into (8-row out) x (8-row src) blocks combined by range
-        selects: ~9 one-vreg gathers + 6 selects at D=20, an order of
-        magnitude fewer vreg-ops than the 20-step broadcast/select
+        selects: ~9 one-vreg gathers + 6 selects per array at D=20, an
+        order of magnitude fewer vreg-ops than the 20-step broadcast/select
         extraction chain it replaces (and bitwise-identical values). Rows
-        pad to a multiple of 8; pad rows are never selected (idx < d)."""
+        pad to a multiple of 8; pad rows are never selected (idx < d).
+        Gathering several arrays by ONE index shares the per-block local
+        index and range masks across all of them (explicitly — not relying
+        on Mosaic CSE)."""
         d8 = -(-d // 8) * 8
-        xp, ip = x, idx
+        ip = idx
+        xps = list(xs)
         if d8 != d:
-            xp = jnp.concatenate(
-                [x, jnp.zeros((d8 - d, s), x.dtype)], axis=0
+            pad = lambda a: jnp.concatenate(
+                [a, jnp.zeros((d8 - d, s), a.dtype)], axis=0
             )
-            ip = jnp.concatenate(
-                [idx, jnp.zeros((d8 - d, s), idx.dtype)], axis=0
-            )
+            ip = pad(idx)
+            xps = [pad(x) for x in xps]
         bases = list(range(0, d8, 8))
-        out_blocks = []
+        out_blocks = [[] for _ in xps]
         for ob in bases:
             idx_b = ip[ob : ob + 8, :]
-            acc = None
+            accs = [None] * len(xps)
             for sb in bases:
-                src = xp[sb : sb + 8, :]
                 local = jnp.clip(idx_b - sb, 0, 7)
-                g = jnp.take_along_axis(src, local, axis=0)
-                acc = g if acc is None else jnp.where(idx_b >= sb, g, acc)
-            out_blocks.append(acc)
-        out = out_blocks[0] if len(out_blocks) == 1 else jnp.concatenate(
-            out_blocks, axis=0
-        )
-        return out[:d, :]
+                in_range = idx_b >= sb
+                for k, xp in enumerate(xps):
+                    g = jnp.take_along_axis(xp[sb : sb + 8, :], local, axis=0)
+                    accs[k] = g if accs[k] is None else jnp.where(
+                        in_range, g, accs[k]
+                    )
+            for k in range(len(xps)):
+                out_blocks[k].append(accs[k])
+        outs = []
+        for blocks in out_blocks:
+            out = blocks[0] if len(blocks) == 1 else jnp.concatenate(
+                blocks, axis=0
+            )
+            outs.append(out[:d, :])
+        return outs
+
+    def gather_rows(x, idx):
+        return gather_rows_multi((x,), idx)[0]
 
     # Unique integer sort keys ~ (cum, row index) lexicographic.
     #
@@ -217,13 +230,19 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
         """sum_j where(mask_j, q_j, 0) -> (1, S); mask selects <=1 row/lane."""
         return jnp.sum(jnp.where(mask, q, 0.0), axis=0, keepdims=True)
 
-    def value_of_ahead(q, rank, fill):
-        """out[i] = q[j] with rank[j] == rank[i]-1; leaders get `fill`."""
-        out = jnp.full((d, s), fill, jnp.float32)
+    def value_of_ahead_multi(qs, rank, fills):
+        """out_k[i] = qs[k][j] with rank[j] == rank[i]-1; leaders get
+        fills[k]. One shared eq-mask pass serves every payload: the DRS gap
+        (cum) and the next lap's dirty-air lookup (last_lap) ride the same
+        chain instead of two independent O(D^2) passes."""
+        outs = [jnp.full((d, s), f, jnp.float32) for f in fills]
         rm1 = rank - 1
         for j in range(d):
-            out = jnp.where(rank[j : j + 1, :] == rm1, q[j : j + 1, :], out)
-        return out
+            eq = rank[j : j + 1, :] == rm1
+            outs = [
+                jnp.where(eq, q[j : j + 1, :], o) for q, o in zip(qs, outs)
+            ]
+        return outs
 
     def compound_tables(scal, compound):
         """All three 5-entry table lookups (deg, pace, optimal) in one
@@ -372,10 +391,9 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
         def lap_body(lap_i, state):
             # Carry is all-f32: Mosaic cannot legalize scf.for with mixed
             # bool/int vector carries. Decode to typed values on entry.
-            prev_state = state
             (cum, last_lap, behind, age, compound_f, used_s_f, used_m_f,
              used_h_f, fuel, dnf_f, dnf_lap, drs_f, laps_done,
-             drs_until, urank_f) = state
+             drs_until, urank_f, ahead_ll) = state
             compound = compound_f.astype(jnp.int32)
             used_s = used_s_f > 0.5
             used_m = used_m_f > 0.5
@@ -445,8 +463,11 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
             # the dirty-air lookup in those corner states; both engines
             # reuse the carried rank consistently, so the effect is
             # distributionally negligible and cross-engine consistent.
-            # Saves one O(D^2) rank pass per lap.
-            ahead_llt = value_of_ahead(last_lap, rank, 0.0)
+            # Saves one O(D^2) rank pass per lap. The VALUE is carried too:
+            # it was computed at the previous lap's position update from
+            # exactly this (rank, last_lap) pair, fused with the DRS gap
+            # chain — bitwise identical to recomputing it here.
+            ahead_llt = ahead_ll
 
             # DNF draw + lap time
             u_d = uniform()
@@ -541,9 +562,7 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
                 if "ot_extract" not in ablate:
                     for j in range(d):
                         inv = jnp.where(orank[j : j + 1, :] == row_iota, j, inv)
-                r_cum = gather_rows(cum, inv)
-                r_pace = gather_rows(pace, inv)
-                r_att = gather_rows(att, inv)
+                r_cum, r_pace, r_att = gather_rows_multi((cum, pace, att), inv)
                 if "ot_decide" not in ablate:
                     # attacker at position p (rows 1..d-1) vs the car at
                     # p-1: delta = ahead_pace - my_pace + my_drs_bonus
@@ -555,13 +574,60 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
                 else:
                     swap = (uniform()[1:, :] < 0.1) & pass_active
                 if "ot_chain" not in ablate:
-                    rows = [r_cum[p : p + 1, :] for p in range(d)]
-                    srows = [None] + [swap[p - 1 : p, :] for p in range(1, d)]
-                    for p in range(1, d):
-                        nb = jnp.maximum(0.1, rows[p - 1] - 0.1)
-                        rows[p - 1] = jnp.where(srows[p], nb + 0.3, rows[p - 1])
-                        rows[p] = jnp.where(srows[p], nb, rows[p])
-                    final = jnp.concatenate(rows, axis=0)
+                    # The reference's sequential time-rewrite chain
+                    #   for p in 1..d-1:
+                    #     nb = max(0.1, rows[p-1] - 0.1)
+                    #     if swap[p]: rows[p-1] = nb + 0.3; rows[p] = nb
+                    # reduces to the recurrence (a_p = rows[p] as read by
+                    # step p+1):
+                    #   a_p = swap[p] ? max(0.1, a_{p-1} - 0.1) : r_cum[p]
+                    # i.e. a composition of affine-max maps f(x) =
+                    # max(c, x + b) with (c,b) = (0.1, -0.1) on swapped rows
+                    # and (r_cum[p], -inf) otherwise — an associative scan.
+                    # A 19-step sequential chain of (1,S) rows is LATENCY-
+                    # bound (57 dependent row ops/lap across 3 passes while
+                    # the VPU idles); this Kogge–Stone prefix runs in
+                    # ceil(log2 d)=5 levels of full-(D,S) ops instead
+                    # (more total ops, ~4x less depth; measured faster —
+                    # see KERNEL_DESIGN.md). FP caveat: the scan sums the
+                    # -0.1 offsets before applying them (x + b with b =
+                    # -0.1*k) where the sequential chain subtracts them one
+                    # by one, so consecutive-swap runs can differ by ULPs
+                    # from the reference's association — far below the
+                    # rank-key quantization already documented, and
+                    # validated against the native oracle at 262k sims.
+                    # Concatenate in f32, not bool: Mosaic can't vreg-cast
+                    # i1 vectors inside concatenate (same legalization gap
+                    # as the bool fori_loop carries).
+                    swap_f = jnp.concatenate(
+                        [jnp.zeros((1, s), jnp.float32),
+                         swap.astype(jnp.float32)], axis=0
+                    )
+                    swapped = swap_f > 0.5
+                    c = jnp.where(swapped, 0.1, r_cum)
+                    b = jnp.where(swapped, -0.1, -INF)
+                    dist = 1
+                    while dist < d:
+                        c_prev = jnp.concatenate(
+                            [jnp.full((dist, s), -INF, jnp.float32),
+                             c[: d - dist, :]], axis=0
+                        )
+                        b_prev = jnp.concatenate(
+                            [jnp.zeros((dist, s), jnp.float32),
+                             b[: d - dist, :]], axis=0
+                        )
+                        c = jnp.maximum(c, c_prev + b)
+                        b = b + b_prev
+                        dist *= 2
+                    a = c  # b has collapsed to -inf: row 0's map is const
+                    # final[p] = swap[p+1] ? max(0.1, a_p - 0.1) + 0.3 : a_p
+                    swap_next = jnp.concatenate(
+                        [swap_f[1:, :], jnp.zeros((1, s), jnp.float32)],
+                        axis=0,
+                    ) > 0.5
+                    final = jnp.where(
+                        swap_next, jnp.maximum(0.1, a - 0.1) + 0.3, a
+                    )
                     # write-back = gather by each driver's own position
                     cum = gather_rows(final, orank)
                 else:
@@ -575,7 +641,10 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
             urank = rank_of(rank_key(cum, row_iota, dnf))
             leader = jnp.min(key_t, axis=0, keepdims=True)
             behind = jnp.where(dnf, behind, cum - leader)
-            gap_ahead = cum - value_of_ahead(cum, urank, 0.0)
+            ahead_cum, ahead_ll = value_of_ahead_multi(
+                (cum, last_lap), urank, (0.0, 0.0)
+            )
+            gap_ahead = cum - ahead_cum
             drs_disabled = lap <= drs_until
             drs = (
                 (lap > 2.0)
@@ -585,26 +654,32 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
                 & ~dnf
             )
             f32 = lambda b: b.astype(jnp.float32)
-            new_state = (cum, last_lap, behind, age, compound.astype(jnp.float32),
-                         f32(used_s), f32(used_m), f32(used_h), fuel, f32(dnf),
-                         dnf_lap, f32(drs), laps_done, drs_until,
-                         urank.astype(jnp.float32))
-            # Laps beyond the race's actual length (compile bucket padding)
-            # are no-ops: freeze the whole carry. PRNG draws still advance,
-            # so results are a function of (key, n_sims, tile, BUCKET).
-            live = lap <= race_laps
-            return tuple(
-                jnp.where(live, n, p) for n, p in zip(new_state, prev_state)
-            )
+            return (cum, last_lap, behind, age, compound.astype(jnp.float32),
+                    f32(used_s), f32(used_m), f32(used_h), fuel, f32(dnf),
+                    dnf_lap, f32(drs), laps_done, drs_until,
+                    urank.astype(jnp.float32), ahead_ll)
 
         f32 = lambda b: b.astype(jnp.float32)
+        # ahead_ll carry: value_of_ahead(last_lap, urank) as of the end of
+        # lap 1 — last_lap is still all-zero there, so the carry starts 0.
         state = (cum, last_lap, behind, age, compound.astype(jnp.float32),
                  f32(used_s), f32(used_m), f32(used_h), fuel, f32(dnf),
                  dnf_lap, f32(drs), laps_done, drs_until,
-                 urank.astype(jnp.float32))
-        state = jax.lax.fori_loop(2, total_laps + 1, lap_body, state)
+                 urank.astype(jnp.float32), jnp.zeros((d, s), jnp.float32))
+        # DYNAMIC trip count: the loop runs to the race's ACTUAL lap count
+        # (traced scalar from SMEM), not the static compile bucket — padded
+        # laps are never executed, so no freeze selects and no dead-lap PRNG
+        # draws. This makes the result a function of (key, n_sims, tile,
+        # race_laps) and bitwise INDEPENDENT of the compile bucket — the
+        # same property the XLA engine has (test_lap_bucketing.py), and it
+        # is what makes short season races cost only their own laps.
+        # `total_laps` only bounds compile-time shapes; the wrapper guards
+        # race_laps <= total_laps.
+        upper = jnp.minimum(race_laps, float(total_laps)).astype(jnp.int32) + 1
+        state = jax.lax.fori_loop(2, upper, lap_body, state)
         (cum, last_lap, behind, age, _compound_f, _us, _um, _uh,
-         fuel, dnf_f, dnf_lap, _drs_f, laps_done, drs_until, _urank_f) = state
+         fuel, dnf_f, dnf_lap, _drs_f, laps_done, drs_until, _urank_f,
+         _ahead_ll) = state
         dnf = dnf_f > 0.5
 
         # ---- classification (simulation.py:230-242) --------------------------
@@ -881,8 +956,9 @@ def run_monte_carlo_pallas_season(
     This is BASELINE.md's "full-season backtest sharded across chips"
     configuration on the flagship kernel: per-race parameters are stacked
     (driver axis padded to the widest field, inactive slots retire before
-    the start), each race's actual lap count masks a shared compile bucket,
-    and with a mesh the flat tile grid is sharded over `sims_axis` — chips
+    the start), each race's actual lap count is the tile's dynamic lap-loop
+    trip count under a shared compile bucket (short races cost only their
+    own laps), and with a mesh the flat tile grid is sharded over `sims_axis` — chips
     process whole tiles regardless of race boundaries, so load balance does
     not depend on tiles_per_race >= n_chips.
 
@@ -934,10 +1010,12 @@ def run_monte_carlo_pallas(
     Bitwise deterministic for fixed (key, n_sims, sims_per_tile, total_laps);
     matches the XLA engine distributionally (tests/test_pallas_engine.py).
 
-    `race_laps` (traced scalar <= total_laps) masks trailing laps so one
-    compile at a padded `total_laps` bucket serves many circuits — kernel
-    state freezes on dead laps (PRNG still advances, so the distribution is
-    keyed to the bucket, not the race length).
+    `race_laps` (traced scalar <= total_laps) sets the lap loop's DYNAMIC
+    trip count so one compile at a padded `total_laps` bucket serves many
+    circuits. Padded laps are never executed (no dead-lap compute or PRNG
+    draws): the result is bitwise independent of the bucket — running at
+    (total_laps=64, race_laps=57) equals (total_laps=57) exactly, the same
+    contract the XLA engine has (tests/test_lap_bucketing.py).
     """
     if n_sims % sims_per_tile != 0:
         raise ValueError(
