@@ -270,6 +270,9 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
 
     def kernel(seeds_ref, pmat_ref, scal_ref, gridlog_ref, out_ref):
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (d, s), 0)
+        # 0.1 * position, hoisted for the overtake chain's closed form
+        # (Mosaic's tpu.iota is integer-only, so cast rather than f32-iota).
+        tenth_iota = row_iota.astype(jnp.float32) * 0.1
         tile = pl.program_id(0)
         # Two 32-bit words per tile (the folded threefry key's full data) —
         # a single int32 seed would birthday-collide across many tiles.
@@ -581,21 +584,31 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
                     # reduces to the recurrence (a_p = rows[p] as read by
                     # step p+1):
                     #   a_p = swap[p] ? max(0.1, a_{p-1} - 0.1) : r_cum[p]
-                    # i.e. a composition of affine-max maps f(x) =
-                    # max(c, x + b) with (c,b) = (0.1, -0.1) on swapped rows
-                    # and (r_cum[p], -inf) otherwise — an associative scan.
-                    # A 19-step sequential chain of (1,S) rows is LATENCY-
-                    # bound (57 dependent row ops/lap across 3 passes while
-                    # the VPU idles); this Kogge–Stone prefix runs in
-                    # ceil(log2 d)=5 levels of full-(D,S) ops instead
-                    # (more total ops, ~4x less depth; measured faster —
-                    # see KERNEL_DESIGN.md). FP caveat: the scan sums the
-                    # -0.1 offsets before applying them (x + b with b =
-                    # -0.1*k) where the sequential chain subtracts them one
-                    # by one, so consecutive-swap runs can differ by ULPs
-                    # from the reference's association — far below the
-                    # rank-key quantization already documented, and
-                    # validated against the native oracle at 262k sims.
+                    # with swap[0] = False. Runs of consecutive swaps have
+                    # the CLOSED FORM a_p = max(0.1, r_cum[j] - 0.1*(p-j))
+                    # where j = j(p) is the last unswapped row <= p. And
+                    # because r_cum is SORTED (it is cum in position order),
+                    # z_q = r_cum[q] + 0.1*q is increasing, so the last
+                    # unswapped row is also the arg-max of z among unswapped
+                    # rows — one log2(d)-level Kogge–Stone prefix-MAX of
+                    #   z = where(swapped, -inf, r_cum + 0.1*q)
+                    # replaces the earlier two-sequence (c, b) affine-max
+                    # scan at half the per-level cost (1 shift + 1 max vs
+                    # 2 shifts + 3 ALU), and a 19-step sequential (1,S) row
+                    # chain entirely (latency-bound; see KERNEL_DESIGN.md).
+                    # FP caveats: (i) a_p is evaluated as
+                    # (r_cum[j] + 0.1*j) - 0.1*p, which can differ by ULPs
+                    # from the reference's one-by-one subtraction — far
+                    # below the rank-key quantization already documented,
+                    # and validated vs the native oracle at 262k sims;
+                    # (ii) within a rank-key tie bucket r_cum may locally
+                    # DECREASE by up to 4 ULP (index-arbitrated ranks), so
+                    # z-monotonicity needs the +0.1 step to dominate —
+                    # true for cum below ~5e5 s, the same regime bound as
+                    # the carried-rank note above; beyond it the picked
+                    # run-start can differ within the bucket, a
+                    # bucket-width-bounded perturbation in states the
+                    # ranking already arbitrates by index.
                     # Concatenate in f32, not bool: Mosaic can't vreg-cast
                     # i1 vectors inside concatenate (same legalization gap
                     # as the bool fori_loop carries).
@@ -604,22 +617,22 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
                          swap.astype(jnp.float32)], axis=0
                     )
                     swapped = swap_f > 0.5
-                    c = jnp.where(swapped, 0.1, r_cum)
-                    b = jnp.where(swapped, -0.1, -INF)
+                    z = jnp.where(swapped, -INF, r_cum + tenth_iota)
                     dist = 1
                     while dist < d:
-                        c_prev = jnp.concatenate(
-                            [jnp.full((dist, s), -INF, jnp.float32),
-                             c[: d - dist, :]], axis=0
+                        z = jnp.maximum(
+                            z,
+                            jnp.concatenate(
+                                [jnp.full((dist, s), -INF, jnp.float32),
+                                 z[: d - dist, :]], axis=0
+                            ),
                         )
-                        b_prev = jnp.concatenate(
-                            [jnp.zeros((dist, s), jnp.float32),
-                             b[: d - dist, :]], axis=0
-                        )
-                        c = jnp.maximum(c, c_prev + b)
-                        b = b + b_prev
                         dist *= 2
-                    a = c  # b has collapsed to -inf: row 0's map is const
+                    a = jnp.where(
+                        swapped,
+                        jnp.maximum(0.1, z - tenth_iota),
+                        r_cum,
+                    )
                     # final[p] = swap[p+1] ? max(0.1, a_p - 0.1) + 0.3 : a_p
                     swap_next = jnp.concatenate(
                         [swap_f[1:, :], jnp.zeros((1, s), jnp.float32)],
