@@ -213,6 +213,90 @@ def test_full_pipeline_on_synthetic(tmp_path):
     assert (np.abs(qa["form_score"]) <= 1.0).all()
 
 
+def _assert_equal_value(a, b, ctx):
+    if isinstance(a, dict):
+        assert set(a) == set(b), ctx
+        for d in a:
+            _assert_equal_value(a[d], b[d], f"{ctx}[{d}]")
+    elif isinstance(a, tuple):
+        assert len(a) == len(b), ctx
+        for i, (x, y) in enumerate(zip(a, b)):
+            _assert_equal_value(x, y, f"{ctx}[{i}]")
+    elif isinstance(a, np.ndarray):
+        np.testing.assert_array_equal(a, b, err_msg=ctx)
+    elif isinstance(a, pd.DataFrame):
+        pd.testing.assert_frame_equal(a, b, check_names=False)
+    elif isinstance(a, pd.Series):
+        pd.testing.assert_series_equal(a, b, check_names=False)
+    elif a is None or b is None:
+        assert a is None and b is None, ctx
+    elif isinstance(a, float) and np.isnan(a):
+        assert np.isnan(b), ctx
+    else:
+        assert a == b, ctx
+
+
+def _assert_tables_equal(ta: dict, tb: dict):
+    assert set(ta) == set(tb)
+    for k in ta:
+        _assert_equal_value(ta[k], tb[k], k)
+
+
+def test_event_partial_memo_matches_fresh(tmp_path):
+    """The per-event partial memo must be invisible: an engine that rebuilt
+    its archive once per race under the walk-forward pinned clock produces
+    the SAME aggregate tables and features as a fresh engine built directly
+    at the final clock (bitwise for per-event aggregates; cross-event sums
+    identical here because both sides accumulate per event)."""
+    from monte_carlo_gp_tpu.validate.backtest import _pin, _race_cutoffs, get_races
+
+    backend = SyntheticBackend(seed=3, n_events=6)
+    loader = F1DataLoader(cache_dir=tmp_path / "a", backend=backend)
+    eng = F1FeatureEngine(loader)
+    season = 2024
+    cutoffs = _race_cutoffs(loader, season)
+    races = get_races(loader, season)
+    for i in range(len(races)):
+        _pin(loader, cutoffs, i, True)
+        eng.load_historical_data([season])
+        eng._t()  # populate (and memoize) at every intermediate clock
+    assert len(eng._event_parts) > 1  # the memo actually engaged
+
+    loader2 = F1DataLoader(cache_dir=tmp_path / "b", backend=SyntheticBackend(seed=3, n_events=6))
+    _pin(loader2, cutoffs, len(races) - 1, True)
+    fresh = F1FeatureEngine(loader2)
+    fresh.load_historical_data([season])
+
+    _assert_tables_equal(eng._t(), fresh._t())
+
+    drivers = sorted(eng.laps["Driver"].unique().tolist())
+    circuit = races[0]
+    weather = {"rainfall": True, "track_temp": 30.0}
+    for d in drivers:
+        assert eng.calculate_quali_features(d, circuit) == pytest.approx(
+            fresh.calculate_quali_features(d, circuit)
+        )
+        assert eng.calculate_race_features(d, circuit, weather) == pytest.approx(
+            fresh.calculate_race_features(d, circuit, weather)
+        )
+
+
+def test_direct_assignment_matches_loader_build(tmp_path):
+    """Assigning `laps`/`race_results` directly (the A/B harness pattern)
+    must produce the same tables as the loader-built archive they came
+    from — the derive-from-frame fallback path."""
+    backend = SyntheticBackend(seed=5, n_events=4)
+    loader = F1DataLoader(cache_dir=tmp_path, backend=backend)
+    eng = F1FeatureEngine(loader)
+    eng.load_historical_data([2024])
+
+    manual = F1FeatureEngine(data_loader=None)
+    manual.laps = eng.laps.copy()
+    manual.race_results = eng.race_results.copy()
+
+    _assert_tables_equal(eng._t(), manual._t())
+
+
 def test_teammate_delta_respects_team_changes():
     """A driver who switches teams between seasons must be compared against
     each season's ACTUAL teammate, not a static roster."""
