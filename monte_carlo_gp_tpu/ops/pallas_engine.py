@@ -560,7 +560,12 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
                 # relational chain); the three position-space arrays then
                 # come from ONE index via sublane gathers instead of three
                 # 20-step broadcast/select chains — bitwise-identical
-                # values, measured ~0.5x the vreg-ops.
+                # values, measured ~0.5x the vreg-ops. (A 5-bit packed
+                # scatter-sum alternative — bits [5*orank, 5*orank+5) of
+                # ceil(d/6) words assembled by sublane sums — produced
+                # bitwise-identical inv but measured 0.7% SLOWER overall
+                # and +40 s compile: the (D,S)->(1,S) reductions cost what
+                # the eq/select rows save. See KERNEL_DESIGN.md.)
                 inv = jnp.zeros((d, s), jnp.int32)
                 if "ot_extract" not in ablate:
                     for j in range(d):
