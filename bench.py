@@ -64,9 +64,7 @@ def main() -> None:
         from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas
 
         def run(k):
-            return run_monte_carlo_pallas(
-                params, k, N_SIMS, TOTAL_LAPS, sims_per_tile=1024
-            )
+            return run_monte_carlo_pallas(params, k, N_SIMS, TOTAL_LAPS)
 
         log("backend: pallas (fused whole-race kernel)")
     else:

@@ -390,12 +390,13 @@ class F1Predictor:
             engine = "xla"
         if engine == "pallas":
             from monte_carlo_gp_tpu.ops.pallas_engine import (
+                DEFAULT_SIMS_PER_TILE,
                 run_monte_carlo_pallas,
                 run_monte_carlo_pallas_sharded,
             )
             from monte_carlo_gp_tpu.utils.logging import log_event
 
-            tile = min(1024, int(n_simulations))
+            tile = min(DEFAULT_SIMS_PER_TILE, int(n_simulations))
             # Round up to a whole number of kernel tiles; probabilities
             # renormalize over the effective count. Surfaced (not silent):
             # logged here and recorded in `last_effective_sims`, which

@@ -38,7 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 from monte_carlo_gp_tpu import config as cfg
 from monte_carlo_gp_tpu.config import SimParams
 
-DEFAULT_SIMS_PER_TILE = 1024
+# Swept on hardware per kernel revision (KERNEL_DESIGN.md "Sizing"): after
+# the round-3 gather/closed-form-chain work, 128-lane tiles (one vreg-row
+# of lanes, ~3x the grid parallelism) beat 1024 by +22% — 3.00M vs 2.46M
+# sims/s. 128 is the floor of full lane utilization; results remain keyed
+# to (key, n_sims, sims_per_tile).
+DEFAULT_SIMS_PER_TILE = 128
 INF = 1e30
 NAN = float("nan")
 

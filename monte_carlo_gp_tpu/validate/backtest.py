@@ -297,10 +297,11 @@ def backtest_model_batched(
 
             from monte_carlo_gp_tpu.models.predictor import _lap_bucket
             from monte_carlo_gp_tpu.ops.pallas_engine import (
+                DEFAULT_SIMS_PER_TILE,
                 run_monte_carlo_pallas_season,
             )
 
-            tile = min(1024, int(n_simulations))
+            tile = min(DEFAULT_SIMS_PER_TILE, int(n_simulations))
             n_eff = -(-int(n_simulations) // tile) * tile
             bucket = max(_lap_bucket(p.total_laps) for p in plans)
             pmesh = None

@@ -364,7 +364,11 @@ def test_simulate_plan_uses_sharded_pallas_on_multidevice(tmp_path):
         probs = p.simulate_plan(plan, 300, seed=1, engine="pallas")
     finally:
         predictor_mod._ALLOW_PALLAS_OFF_TPU = False
-    assert p.last_effective_sims == 300  # tile = min(1024, 300) = 300
+    # n_sims rounds UP to whole kernel tiles (surfaced, not silent)
+    from monte_carlo_gp_tpu.ops.pallas_engine import DEFAULT_SIMS_PER_TILE
+
+    tile = min(DEFAULT_SIMS_PER_TILE, 300)
+    assert p.last_effective_sims == -(-300 // tile) * tile
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
 
 
