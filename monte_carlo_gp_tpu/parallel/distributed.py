@@ -72,3 +72,31 @@ def initialize_distributed(
         shutdown_timeout_seconds=600,
     )
     return True
+
+
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Rendezvous every process via the coordination service — WITHOUT
+    touching the collectives backend.
+
+    Communicator setup in the collectives layer has its own short
+    rendezvous deadline that `initialize_distributed`'s generous timeouts
+    do NOT cover: gloo's key-value exchange and TCP pair connect give up
+    after ~30 s, and a fresh communicator is created at the first
+    EXECUTION of every compiled program that contains a collective. If
+    processes reach that first execution more than ~30 s apart — cold or
+    per-process compilation caches make minutes of skew routine — the job
+    dies with "Gloo context initialization failed: DEADLINE_EXCEEDED" /
+    "Connect timeout" even though every process is healthy.
+
+    The fix is to align processes BETWEEN compilation and first execution:
+    AOT-compile (`jitted.lower(...).compile()` — no collective runs during
+    compilation), call `barrier("compiled")`, then execute; communicator
+    creation skew is then milliseconds. This barrier rides the gRPC
+    coordination service (long, configurable deadline), so it is safe to
+    call while peers are still compiling. No-op in single-process mode.
+    """
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)

@@ -35,7 +35,7 @@ def main(coordinator: str, num_procs: int, proc_id: int, out_path: str) -> None:
     assert len(jax.local_devices()) == 1
 
     from monte_carlo_gp_tpu.config import make_sim_params
-    from monte_carlo_gp_tpu.parallel.mesh import make_mesh, sharded_monte_carlo
+    from monte_carlo_gp_tpu.parallel.mesh import make_mesh
 
     d = 8
     gp = np.exp(
@@ -53,9 +53,21 @@ def main(coordinator: str, num_procs: int, proc_id: int, out_path: str) -> None:
         overtake_delta=0.6,
     )
     mesh = make_mesh({"sims": num_procs})
-    probs = sharded_monte_carlo(
-        params, jax.random.PRNGKey(11), n_sims=1024, total_laps=12, mesh=mesh
-    )
+    key = jax.random.PRNGKey(11)
+    # AOT-compile, rendezvous, THEN execute: the first execution creates the
+    # gloo communicators, whose rendezvous gives up after ~30 s — far less
+    # than cross-process compile skew on a cold cache (see
+    # parallel/distributed.barrier). sharded_monte_carlo == _sharded_probs
+    # under set_mesh (mesh.py:87-88).
+    from monte_carlo_gp_tpu.parallel.distributed import barrier
+    from monte_carlo_gp_tpu.parallel.mesh import _sharded_probs
+
+    with jax.set_mesh(mesh):
+        compiled = _sharded_probs.lower(
+            params, key, 1024, 12, mesh, "sims"
+        ).compile()
+        barrier("mcgp_worker_compiled")
+        probs = compiled(params, key)
     # fully-replicated output: every process holds the global value
     local = np.asarray(probs)
     if proc_id == 0:
