@@ -113,16 +113,22 @@ def test_native_oracle_matches_python_oracle():
     d, laps = 10, 30
     sc = scenario(d)
     params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
-    native = run_native_oracle(params, seed=42, n_sims=40_000, total_laps=laps)
+    # This is the ARBITER between the two independent ground-truth oracles:
+    # if the engine ever disagrees with one of them, this test decides
+    # whether the C++ or the Python reading of the reference is at fault —
+    # so its resolution must be comparable to the engine-vs-native bounds,
+    # not a loose sanity check. 12k python sims (~55 s at ~200 sims/s) puts
+    # the MC floor at ~0.015 observed; bound = 2x observed.
+    native = run_native_oracle(params, seed=42, n_sims=160_000, total_laps=laps)
     ocfg = OracleConfig(total_laps=laps, pit_loss=21.0, overtake_delta=0.6)
     py = run_oracle_monte_carlo(
-        seed=42, cfg=ocfg, n_sims=1500,
+        seed=42, cfg=ocfg, n_sims=12_000,
         grid_probs=sc["grid_probs"], base_pace=sc["base_pace"],
         tire_deg=sc["tire_deg"], variance=sc["variance"],
         dnf_rate=sc["dnf_rate"], team_dnf_rate=sc["team_dnf_rate"],
     )
     tv = 0.5 * np.abs(native - py).sum(axis=1)
-    assert tv.max() < 0.10, tv  # dominated by the python oracle's MC error
+    assert tv.max() < 0.03, tv  # observed 0.0148 at these sizes
 
 
 @pytest.mark.slow
