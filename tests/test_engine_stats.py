@@ -39,7 +39,9 @@ def test_finish_distribution_matches_oracle():
         total_laps=laps, pit_loss=21.0, overtake_delta=0.6,
         sc_prob=0.01, vsc_prob=0.015, red_prob=0.002,
     )
-    n_oracle = 1200
+    # 6,000 oracle sims (~30 s) halve the old 1,200-sim MC floor: these
+    # shields now resolve at the same order as the native-oracle tests.
+    n_oracle = 6000
     oracle_probs = run_oracle_monte_carlo(
         seed=42, cfg=ocfg,
         grid_probs=sc["grid_probs"], base_pace=sc["base_pace"],
@@ -48,7 +50,7 @@ def test_finish_distribution_matches_oracle():
         n_sims=n_oracle,
     )
     params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
-    n_tpu = 8192
+    n_tpu = 16384
     tpu_probs = np.asarray(
         run_monte_carlo(params, jax.random.PRNGKey(42), n_tpu, laps)
     )
@@ -61,7 +63,11 @@ def test_finish_distribution_matches_oracle():
     var_t = tpu_probs @ positions**2 - mean_t**2
     se = np.sqrt(var_o / n_oracle + var_t / n_tpu)
     z = (mean_o - mean_t) / np.maximum(se, 1e-6)
-    assert (np.abs(z) < 4.5).all(), (mean_o, mean_t, z)
+    assert (np.abs(z) < 4.0).all(), (mean_o, mean_t, z)
+
+    # Full-distribution agreement (observed 0.020 at these sizes).
+    tv = 0.5 * np.abs(oracle_probs - tpu_probs).sum(axis=1)
+    assert tv.max() < 0.04, tv
 
     # Rank correlation of win probabilities.
     rho = stats.spearmanr(oracle_probs[:, 0], tpu_probs[:, 0]).statistic
@@ -87,19 +93,19 @@ def test_dnf_rate_matches_oracle():
     sc["team_dnf_rate"] = np.full(d, 0.01, np.float32)
     ocfg = OracleConfig(total_laps=laps, overtake_delta=0.6)
     oracle_probs = run_oracle_monte_carlo(
-        seed=7, cfg=ocfg, n_sims=1200,
+        seed=7, cfg=ocfg, n_sims=6000,
         grid_probs=sc["grid_probs"], base_pace=sc["base_pace"],
         tire_deg=sc["tire_deg"], variance=sc["variance"],
         dnf_rate=sc["dnf_rate"], team_dnf_rate=sc["team_dnf_rate"],
     )
     params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
     tpu_probs = np.asarray(
-        run_monte_carlo(params, jax.random.PRNGKey(7), 8192, laps)
+        run_monte_carlo(params, jax.random.PRNGKey(7), 16384, laps)
     )
     # expected per-race DNF count: lap1 4*0.01 + 24 laps * 0.01 ~ 0.28/driver
     # compare mean finish distributions overall
     tv = 0.5 * np.abs(oracle_probs - tpu_probs).sum(axis=1)
-    assert tv.max() < 0.12, tv  # total variation per driver row
+    assert tv.max() < 0.04, tv  # observed 0.017 at 6k/16k sims
 
 
 @pytest.mark.slow
