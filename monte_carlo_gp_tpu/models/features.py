@@ -246,8 +246,6 @@ class F1FeatureEngine:
             if value is not None:
                 t[name_] = value
 
-        # (Driver, season, circuit, session_type) sizes
-        put("drv_session_nlaps", series("nlaps", True, trail=1, dtype="int64"))
         put("event_best", series("best", False, name="LapTime"))
         put("drv_event_best", series("drv_best", True, name="LapTime"))
         for col in ("Sector1Time", "Sector2Time", "Sector3Time"):
@@ -258,7 +256,20 @@ class F1FeatureEngine:
         # race-session driver medians and lap counts (race pace / deg)
         put("r_median", series("r_median", True, name="LapTime"))
         put("r_nlaps", series("r_nlaps", True, dtype="int64", name="LapTime"))
-        put("deg_slopes", series("deg", True))
+        # deg rate folded per driver straight from the per-event slopes
+        # (events in sorted order — the association the old per-driver
+        # pandas slice produced): dropna, keep (0, 0.5), mean clamped
+        # [0.01, 0.15], default 0.05 (reference features.py:448-490).
+        deg_vals: dict = {}
+        for (_, _), p in sorted(parts, key=lambda kp: kp[0]):
+            for drv, v in p.get("deg", {}).items():
+                if not pd.isna(v) and 0.0 < v < 0.5:
+                    deg_vals.setdefault(drv, []).append(v)
+        if any("deg" in p for _, p in parts):
+            t["deg_rate_all"] = {
+                drv: float(np.clip(np.mean(vals), 0.01, 0.15))
+                for drv, vals in deg_vals.items()
+            }
         # qualifying bests pivoted per event (teammate comparisons) and the
         # driver -> team map: rows = events (sorted), columns = drivers
         # (sorted union), exactly pivot_table(min/first)'s layout; drivers
@@ -417,11 +428,20 @@ class F1FeatureEngine:
                     slope = np.polyfit(tk, gk, 1)[0]
                     out[drv] = float(np.clip(slope / 100.0, 0.0, 0.005))
             t["temp_sensitivity_all"] = out
-        # Q3-rate heuristic: share of Q sessions with >=3 laps per driver
-        n = t["drv_session_nlaps"]
-        qn = n[n.index.get_level_values("session_type") == "Q"]
-        if not qn.empty:
-            t["q3_rate_all"] = (qn >= 3).groupby(level=0).mean().to_dict()
+        # Q3-rate heuristic: share of Q sessions with >=3 laps per driver —
+        # a ratio of counts, accumulated straight from the per-event
+        # partials (mean of booleans == hits/total exactly)
+        q3_hits: dict = {}
+        q3_total: dict = {}
+        for _, p in parts:
+            for (drv, st), n_ in p["nlaps"].items():
+                if st == "Q":
+                    q3_total[drv] = q3_total.get(drv, 0) + 1
+                    q3_hits[drv] = q3_hits.get(drv, 0) + (1 if n_ >= 3 else 0)
+        if q3_total:
+            t["q3_rate_all"] = {
+                drv: q3_hits[drv] / q3_total[drv] for drv in q3_total
+            }
         self._tables = t
         return t
 
@@ -617,18 +637,11 @@ class F1FeatureEngine:
     def _deg_rate(self, driver: str) -> float:
         """Linear lap-time slope per race session, outliers ±10s of median
         removed, slopes kept in (0, 0.5), mean clamped [0.01, 0.15]
-        (features.py:448-490). Slopes precomputed once per archive."""
+        (features.py:448-490). Folded per driver once per archive."""
         t = self._t()
-        if not t or "deg_slopes" not in t:
+        if not t or "deg_rate_all" not in t:
             return 0.05
-        slopes = t["deg_slopes"]
-        if driver not in slopes.index.get_level_values(0):
-            return 0.05
-        drv = slopes.loc[driver].dropna()
-        drv = drv[(drv > 0) & (drv < 0.5)]
-        if drv.empty:
-            return 0.05
-        return float(np.clip(drv.mean(), 0.01, 0.15))
+        return t["deg_rate_all"].get(driver, 0.05)
 
     _EMPTY_BUNDLE = (np.empty(0), np.empty(0), np.empty(0, bool), None)
 
