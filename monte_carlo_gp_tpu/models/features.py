@@ -198,7 +198,7 @@ class F1FeatureEngine:
                         if len(frames) > 1
                         else frames[0]
                     )
-                    p = _event_partial(ev, name)
+                    p = _event_partial(ev)
                     self._event_parts[key] = p
                 parts.append(((season, name), p))
         else:
@@ -206,24 +206,22 @@ class F1FeatureEngine:
             # from the frame in first-appearance order — the same group rows
             # in the same relative order the whole-archive groupbys saw.
             for key, ev in laps.groupby(["season", "circuit"], sort=False):
-                parts.append((tuple(key), _event_partial(ev, key[1])))
+                parts.append((tuple(key), _event_partial(ev)))
 
-        def series(field, prepend_event, trail=0, dtype=None, name=None):
+        def series(field, per_driver, dtype=None, name=None):
             """One sorted-MultiIndex Series from the per-event dict pieces,
             with the index level order (and sortedness) of the global
-            groupby it replaces: (Driver, season, circuit[, ...])."""
+            groupby it replaces: (Driver, season, circuit) for per-driver
+            fields, (season, circuit) for per-event scalars."""
             rows = []
             for (season, circuit), p in parts:
                 piece = p.get(field)
                 if piece is None:
                     continue
-                if prepend_event:
-                    for k, v in piece.items():
-                        key = k if isinstance(k, tuple) else (k,)
-                        rows.append(
-                            (key[: len(key) - trail] + (season, circuit)
-                             + key[len(key) - trail:], v)
-                        )
+                if per_driver:
+                    rows.extend(
+                        ((drv, season, circuit), v) for drv, v in piece.items()
+                    )
                 else:
                     rows.append(((season, circuit), piece))
             if not rows:
@@ -231,8 +229,7 @@ class F1FeatureEngine:
             rows.sort(key=lambda r: r[0])
             names = (
                 ["Driver", "season", "circuit"]
-                + (["session_type"] if trail else [])
-                if prepend_event
+                if per_driver
                 else ["season", "circuit"]
             )
             return pd.Series(
@@ -764,7 +761,7 @@ class F1FeatureEngine:
         }
 
 
-def _event_partial(ev: pd.DataFrame, name: str) -> dict:
+def _event_partial(ev: pd.DataFrame) -> dict:
     """All per-event aggregate pieces of the `_t()` tables for one event's
     combined Q+R laps frame. Computed ONCE per event and memoized across
     walk-forward rebuilds (the archive is append-only under the pinned
