@@ -208,101 +208,119 @@ class F1FeatureEngine:
             for key, ev in laps.groupby(["season", "circuit"], sort=False):
                 parts.append((tuple(key), _event_partial(ev)))
 
-        def series(field, per_driver, dtype=None, name=None):
-            """One sorted-MultiIndex Series from the per-event dict pieces,
-            with the index level order (and sortedness) of the global
-            groupby it replaces: (Driver, season, circuit) for per-driver
-            fields, (season, circuit) for per-event scalars."""
-            rows = []
-            for (season, circuit), p in parts:
-                piece = p.get(field)
-                if piece is None:
-                    continue
-                if per_driver:
-                    rows.extend(
-                        ((drv, season, circuit), v) for drv, v in piece.items()
-                    )
-                else:
-                    rows.append(((season, circuit), piece))
-            if not rows:
-                return None
-            rows.sort(key=lambda r: r[0])
-            names = (
-                ["Driver", "season", "circuit"]
-                if per_driver
-                else ["season", "circuit"]
-            )
-            return pd.Series(
-                [v for _, v in rows],
-                index=pd.MultiIndex.from_tuples([k for k, _ in rows], names=names),
-                dtype=dtype,
-                name=name,
-            )
+        # ---- accumulate the whole-field tables from the partials ----------
+        # Every table is a plain dict built by merging per-event pieces in
+        # SORTED (season, circuit) order — the same row order the old
+        # whole-archive groupby/pivot versions reduced in, so per-driver
+        # means/fits see identical values in identical order. (The round-1
+        # profile that motivated whole-field tables: _teammate_delta 34s +
+        # _quali_gaps 36s per season of per-driver rescans; the pandas
+        # assembly that replaced them was itself ~60% of the memoized
+        # rebuild, hence this final dict form.) Guarded field-by-field vs
+        # the genuine reference engine at rel 1e-9
+        # (tests/test_reference_ab.py) and memo-vs-fresh
+        # (tests/test_features.py).
+        sparts = sorted(parts, key=lambda kp: kp[0])
 
-        def put(name_, value):
-            if value is not None:
-                t[name_] = value
-
-        put("event_best", series("best", False, name="LapTime"))
-        put("drv_event_best", series("drv_best", True, name="LapTime"))
-        for col in ("Sector1Time", "Sector2Time", "Sector3Time"):
-            put("event_best_" + col, series("best_" + col, False, name=col))
-            put("drv_event_best_" + col, series("drv_best_" + col, True, name=col))
-        put("event_temp", series("temp", False, name="TrackTemp"))
-        put("session_wet", series("wet", False, dtype=bool, name="Rainfall"))
-        # race-session driver medians and lap counts (race pace / deg)
-        put("r_median", series("r_median", True, name="LapTime"))
-        put("r_nlaps", series("r_nlaps", True, dtype="int64", name="LapTime"))
-        # deg rate folded per driver straight from the per-event slopes
-        # (events in sorted order — the association the old per-driver
-        # pandas slice produced): dropna, keep (0, 0.5), mean clamped
-        # [0.01, 0.15], default 0.05 (reference features.py:448-490).
         deg_vals: dict = {}
-        for (_, _), p in sorted(parts, key=lambda kp: kp[0]):
-            for drv, v in p.get("deg", {}).items():
-                if not pd.isna(v) and 0.0 < v < 0.5:
-                    deg_vals.setdefault(drv, []).append(v)
-        if any("deg" in p for _, p in parts):
+        q_gap_lists: dict = {}
+        tm_sum: dict = {}
+        tm_cnt: dict = {}
+        sector_lists: dict = {c: {} for c in
+                              ("Sector1Time", "Sector2Time", "Sector3Time")}
+        wet_lists: dict = {}
+        dry_lists: dict = {}
+        temp_pts: dict = {}
+        rp_lists: dict = {}
+        any_deg = any_q = any_tm = any_wet = any_temp = False
+        any_sector = {c: False for c in sector_lists}
+        for _, p in sparts:
+            # deg rate (reference features.py:448-490): dropna, keep
+            # slopes in (0, 0.5); mean clamped below
+            if "deg" in p:
+                any_deg = True
+                for drv, v in p["deg"].items():
+                    if not pd.isna(v) and 0.0 < v < 0.5:
+                        deg_vals.setdefault(drv, []).append(v)
+            if "q_gaps" in p:
+                any_q = True
+                for drv, v in p["q_gaps"].items():
+                    q_gap_lists.setdefault(drv, []).append(v)
+            if "tm_cnt" in p:
+                any_tm = True
+                for drv, v in p["tm_sum"].items():
+                    tm_sum[drv] = tm_sum.get(drv, 0.0) + v
+                    tm_cnt[drv] = tm_cnt.get(drv, 0) + p["tm_cnt"][drv]
+            for col, lists in sector_lists.items():
+                piece = p.get("sector_gap_" + col)
+                if piece is not None:
+                    any_sector[col] = True
+                    for drv, v in piece.items():
+                        if np.isfinite(v):
+                            lists.setdefault(drv, []).append(v)
+            gaps = p.get("ev_gap")
+            if gaps:
+                # wet flag defaults False for events without a Rainfall
+                # column (the old reindex(...).fillna(False))
+                if "wet" in p:
+                    any_wet = True
+                target = wet_lists if p.get("wet", False) else dry_lists
+                for drv, v in gaps.items():
+                    target.setdefault(drv, []).append(v)
+                temp = p.get("temp")
+                if temp is not None:
+                    any_temp = True
+                    if not pd.isna(temp) and p["ev_best"] > 0:
+                        for drv, v in gaps.items():
+                            temp_pts.setdefault(drv, []).append((temp, v))
+            rp = p.get("rp_delta")
+            if rp:
+                for drv, v in rp.items():
+                    rp_lists.setdefault(drv, []).append(v)
+
+        if any_deg:
             t["deg_rate_all"] = {
                 drv: float(np.clip(np.mean(vals), 0.01, 0.15))
                 for drv, vals in deg_vals.items()
             }
-        # qualifying bests pivoted per event (teammate comparisons) and the
-        # driver -> team map: rows = events (sorted), columns = drivers
-        # (sorted union), exactly pivot_table(min/first)'s layout; drivers
-        # with no non-null value anywhere are dropped like pivot_table's
-        # dropna does.
-        q_events = [(k, p) for k, p in parts if "q_best" in p]
-        if q_events:
-            q_events.sort(key=lambda kp: kp[0])
-            drivers = sorted(
-                {d for _, p in q_events for d in p["q_best"]
-                 if not pd.isna(p["q_best"][d])}
-            )
-            eidx = pd.MultiIndex.from_tuples(
-                [k for k, _ in q_events], names=["season", "circuit"]
-            )
-            cols = pd.Index(drivers, name="Driver")
-            vals = np.full((len(q_events), len(drivers)), np.nan)
-            pos = {d: j for j, d in enumerate(drivers)}
-            for i, (_, p) in enumerate(q_events):
-                for d, v in p["q_best"].items():
-                    if d in pos:
-                        vals[i, pos[d]] = v
-            t["q_best_pivot"] = pd.DataFrame(vals, index=eidx, columns=cols)
-            if any("q_team" in p for _, p in q_events):
-                # Team PER EVENT — drivers change teams between seasons, so
-                # teammate comparisons must match rosters event by event
-                # (reference features.py:159-181 compares within each
-                # session's own team grouping).
-                teams = np.full((len(q_events), len(drivers)), np.nan, object)
-                for i, (_, p) in enumerate(q_events):
-                    for d, v in p.get("q_team", {}).items():
-                        if d in pos:
-                            teams[i, pos[d]] = v
-                t["q_team_pivot"] = pd.DataFrame(
-                    teams, index=eidx, columns=cols
-                )
+        if any_q:
+            t["q_gaps_np"] = {
+                drv: np.asarray(vals, float)
+                for drv, vals in q_gap_lists.items()
+            }
+        if any_tm:
+            t["teammate_delta_all"] = {
+                drv: float(tm_sum[drv] / tm_cnt[drv]) for drv in tm_cnt
+            }
+        for col, lists in sector_lists.items():
+            if any_sector[col]:
+                t["sector_strength_" + col] = {
+                    drv: float(np.clip(np.mean(vals), -1.0, 1.0))
+                    for drv, vals in lists.items()
+                    if vals
+                }
+        if any_wet:
+            out = {}
+            for drv in set(wet_lists) | set(dry_lists):
+                wg, dg = wet_lists.get(drv), dry_lists.get(drv)
+                if wg and dg:
+                    out[drv] = float(
+                        np.clip(np.mean(dg) - np.mean(wg), -1.0, 1.0)
+                    )
+            t["wet_performance_all"] = out
+        if any_temp:
+            out = {}
+            for drv, pts in temp_pts.items():
+                tk = np.asarray([a for a, _ in pts], float)
+                gk = np.asarray([b for _, b in pts], float)
+                if len(gk) >= 5 and tk.std() >= 5:
+                    slope = np.polyfit(tk, gk, 1)[0]
+                    out[drv] = float(np.clip(slope / 100.0, 0.0, 0.005))
+            t["temp_sensitivity_all"] = out
+        if rp_lists:
+            t["race_pace_by_driver"] = {
+                drv: float(np.mean(vals)) for drv, vals in rp_lists.items()
+            }
         # per-driver lap-time sums/counts overall and per short circuit name
         # (circuit affinity = mean over laps, reference features.py:214-234)
         lap_sum, lap_n = {}, {}
@@ -316,118 +334,13 @@ class F1FeatureEngine:
                 lap_n[drv] = lap_n.get(drv, 0) + n_
                 circ_n[(drv, short)] = circ_n.get((drv, short), 0) + n_
         if lap_sum:
-            t["drv_lap_sum"] = pd.Series(lap_sum, name="LapTime").sort_index()
-            t["drv_lap_n"] = pd.Series(lap_n, name="LapTime").sort_index()
-            cidx = pd.MultiIndex.from_tuples(
-                circ_sum.keys(), names=["Driver", "circuit"]
-            )
-            t["drv_circuit_sum"] = pd.Series(
-                list(circ_sum.values()), index=cidx, name="LapTime"
-            ).sort_index()
-            t["drv_circuit_n"] = pd.Series(
-                list(circ_n.values()), index=cidx, name="LapTime"
-            ).sort_index()
-
-        # ---- whole-field tables (one pass instead of per-driver rescans) ---
-        # The walk-forward backtest rebuilds the archive per race; computing
-        # these per driver made feature prep the dominant host cost
-        # (profiled: _teammate_delta 34s + _quali_gaps 36s per 20-race
-        # season). Values are bit-compatible with the per-driver formulas
-        # (same float64 ops over the same sets; only summation order may
-        # differ) — guarded by tests/test_reference_ab.py field-by-field.
-        if "q_best_pivot" in t:
-            pivot = t["q_best_pivot"]
-            session_best = pivot.min(axis=1)
-            t["q_gaps_pivot"] = (
-                pivot.sub(session_best, axis=0).div(session_best, axis=0) * 100.0
-            )
-            # per-driver dropna'd gap arrays (event order), extracted once:
-            # _gap_to_pole/_form_score were re-slicing the pivot per
-            # (driver, race) call
-            gv = t["q_gaps_pivot"].to_numpy(float)
-            t["q_gaps_np"] = {
-                d: gv[~np.isnan(gv[:, j]), j]
-                for j, d in enumerate(t["q_gaps_pivot"].columns)
-            }
-            if "q_team_pivot" in t:
-                teams = t["q_team_pivot"].reindex(columns=pivot.columns)
-                v = pivot.to_numpy(float)  # (events, drivers)
-                team = teams.to_numpy(object)
-                valid = ~np.isnan(v)
-                # same_team[e, i, j]: NaN teams compare False, covering the
-                # reference's my_team.notna() guard (features.py:159-181)
-                same_team = team[:, :, None] == team[:, None, :]
-                ok = (
-                    valid[:, :, None]
-                    & valid[:, None, :]
-                    & (np.nan_to_num(v[:, None, :]) > 0)
-                    & same_team
-                    & ~np.eye(v.shape[1], dtype=bool)[None]
-                )
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    delta = (v[:, None, :] - v[:, :, None]) / v[:, None, :] * 100.0
-                sums = np.where(ok, delta, 0.0).sum(axis=(0, 2))
-                counts = ok.sum(axis=(0, 2))
-                t["teammate_delta_all"] = {
-                    d: float(sums[i] / counts[i]) if counts[i] else 0.0
-                    for i, d in enumerate(pivot.columns)
-                }
-        if "r_median" in t:
-            med = t["r_median"][t["r_nlaps"] >= 5]
-            if not med.empty:
-                lead = med.groupby(level=[1, 2]).transform("min")
-                delta = ((med - lead) / lead * 100.0)[lead > 0]
-                t["race_pace_by_driver"] = delta.groupby(level=0).mean()
-        # sector strengths: per sector, % advantage vs event best, mean per
-        # driver, clipped ±1 (whole field at once)
-        for col in ("Sector1Time", "Sector2Time", "Sector3Time"):
-            if ("drv_event_best_" + col) not in t:
-                continue
-            pivot = t["drv_event_best_" + col].unstack(0)
-            sb = t["event_best_" + col]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                deltas = (-pivot.sub(sb, axis=0)).div(sb, axis=0) * 100.0
-            out = {}
-            for drv in pivot.columns:
-                v = deltas[drv].dropna().to_numpy()
-                v = v[np.isfinite(v)]
-                out[drv] = float(np.clip(v.mean(), -1.0, 1.0)) if v.size else 0.0
-            t["sector_strength_" + col] = out
-        # wet performance and temp sensitivity share the event-gap pivot
-        drv_ev = t["drv_event_best"].unstack(0)
-        ev_best = t["event_best"]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            gaps_ev = drv_ev.sub(ev_best, axis=0).div(ev_best, axis=0) * 100.0
-        if "session_wet" in t:
-            wet = t["session_wet"].reindex(gaps_ev.index).fillna(False).to_numpy(bool)
-            out = {}
-            for drv in gaps_ev.columns:
-                g = gaps_ev[drv].to_numpy()
-                ok = ~np.isnan(g)
-                wg, dg = g[ok & wet], g[ok & ~wet]
-                out[drv] = (
-                    float(np.clip(dg.mean() - wg.mean(), -1.0, 1.0))
-                    if wg.size and dg.size
-                    else 0.0
-                )
-            t["wet_performance_all"] = out
-        if "event_temp" in t:
-            temps = t["event_temp"].reindex(gaps_ev.index).to_numpy(float)
-            sb = ev_best.reindex(gaps_ev.index).to_numpy(float)
-            out = {}
-            for drv in gaps_ev.columns:
-                g = gaps_ev[drv].to_numpy(float)
-                ok = ~np.isnan(g) & ~np.isnan(temps) & (sb > 0)
-                gk, tk = g[ok], temps[ok]
-                if len(gk) < 5 or tk.std() < 5:
-                    out[drv] = 0.001
-                else:
-                    slope = np.polyfit(tk, gk, 1)[0]
-                    out[drv] = float(np.clip(slope / 100.0, 0.0, 0.005))
-            t["temp_sensitivity_all"] = out
+            t["drv_lap_sum"] = lap_sum
+            t["drv_lap_n"] = lap_n
+            t["drv_circuit_sum"] = circ_sum
+            t["drv_circuit_n"] = circ_n
         # Q3-rate heuristic: share of Q sessions with >=3 laps per driver —
-        # a ratio of counts, accumulated straight from the per-event
-        # partials (mean of booleans == hits/total exactly)
+        # a ratio of counts (mean of booleans == hits/total exactly,
+        # reference features.py:236-259)
         q3_hits: dict = {}
         q3_total: dict = {}
         for _, p in parts:
@@ -507,14 +420,6 @@ class F1FeatureEngine:
 
     # -- qualifying features ----------------------------------------------------
 
-    def _quali_gaps(self, driver: str) -> pd.Series:
-        """Per-Q-session percentage gap of driver's best lap to session best
-        ((season, circuit)-ordered). Sliced from the whole-field pivot."""
-        t = self._t()
-        if not t or "q_gaps_pivot" not in t or driver not in t["q_gaps_pivot"].columns:
-            return pd.Series(dtype=float)
-        return t["q_gaps_pivot"][driver].dropna()
-
     def _gap_to_pole(self, driver: str) -> float:
         """Mean % gap to pole in qualifying. Reference stubs this to 1.0 with
         a 1.5 empty-default (features.py:128-133); here it is computed."""
@@ -555,7 +460,7 @@ class F1FeatureEngine:
         total = n = 0.0
         for short in targets:
             key = (driver, short)
-            if key in counts.index:
+            if key in counts:
                 total += sums[key]
                 n += counts[key]
         if n == 0:
@@ -762,24 +667,48 @@ class F1FeatureEngine:
 
 
 def _event_partial(ev: pd.DataFrame) -> dict:
-    """All per-event aggregate pieces of the `_t()` tables for one event's
-    combined Q+R laps frame. Computed ONCE per event and memoized across
+    """All per-event pieces of the `_t()` tables for one event's combined
+    Q+R laps frame — computed ONCE per event and memoized across
     walk-forward rebuilds (the archive is append-only under the pinned
-    clock, so event data is immutable). Every aggregate here acts on the
-    same rows in the same order as the corresponding whole-archive groupby
-    group did, so the values are bitwise identical to the pre-memoization
-    tables. Stored as plain dicts/scalars: table ASSEMBLY happens once per
-    rebuild, and concatenating ~10 pandas Series per table per rebuild was
-    itself half the memoized rebuild cost — python lists + one constructor
-    call per table are ~50x cheaper."""
+    clock, so event data is immutable). Emits the event's DERIVED
+    contributions (gaps, teammate pair deltas, race-pace deltas, deg
+    slopes) as plain dicts, so a table rebuild is pure dict accumulation:
+    every aggregate below acts on the same rows, in the same order, with
+    the same formula as the whole-archive pandas version it replaced —
+    values are bitwise identical per event; only the cross-event float
+    accumulation order can differ (far below the 1e-9 reference-A/B
+    tolerance, and deterministic)."""
     p: dict = {}
     p["nlaps"] = ev.groupby(["Driver", "session_type"]).size().to_dict()
-    p["best"] = ev["LapTime"].min()
-    p["drv_best"] = ev.groupby("Driver")["LapTime"].min().to_dict()
+    best = ev["LapTime"].min()
+    drv_best = ev.groupby("Driver")["LapTime"].min().to_dict()
+    # overall event gap % to event best (wet-performance / temp-sensitivity
+    # consumers; reference features.py:626-685, :730-786). NaN bests or
+    # NaN driver values contribute nothing, matching the old pivot's
+    # ~isnan masks; a zero best yields ±inf exactly like the pandas div.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gaps = {
+            d: float(np.float64(v - best) / np.float64(best) * 100.0)
+            for d, v in drv_best.items()
+            if not pd.isna(v) and not pd.isna(best)
+        }
+    if gaps:
+        p["ev_gap"] = gaps
+    p["ev_best"] = float(best) if not pd.isna(best) else np.nan
+    # per-sector gap % to the event's sector best (reference
+    # features.py:261-320): (sector_best - v) / sector_best * 100
     for col in ("Sector1Time", "Sector2Time", "Sector3Time"):
         if col in ev.columns:
-            p["best_" + col] = ev[col].min()
-            p["drv_best_" + col] = ev.groupby("Driver")[col].min().to_dict()
+            sb = ev[col].min()
+            if pd.isna(sb):
+                continue
+            sd = ev.groupby("Driver")[col].min().to_dict()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p["sector_gap_" + col] = {
+                    d: float(np.float64(sb - v) / np.float64(sb) * 100.0)
+                    for d, v in sd.items()
+                    if not pd.isna(v)
+                }
     if "TrackTemp" in ev.columns:
         p["temp"] = ev["TrackTemp"].mean()
     if "Rainfall" in ev.columns:
@@ -787,15 +716,51 @@ def _event_partial(ev: pd.DataFrame) -> dict:
     r = ev[ev["session_type"] == "R"]
     if not r.empty:
         gr = r.groupby("Driver")["LapTime"]
-        p["r_median"] = gr.median().to_dict()
-        p["r_nlaps"] = gr.count().to_dict()
+        med = gr.median().to_dict()
+        nl = gr.count().to_dict()
+        # race pace: % gap of each >=5-lap driver's median to the event's
+        # fastest eligible median (reference features.py:396-446)
+        elig = {d: m for d, m in med.items() if nl.get(d, 0) >= 5}
+        if elig:
+            lead = min(elig.values())
+            if lead > 0:
+                p["rp_delta"] = {
+                    d: float((m - lead) / lead * 100.0) for d, m in elig.items()
+                }
         p["deg"] = {k[0]: v for k, v in _deg_slopes_all(r).items()}
     q = ev[ev["session_type"] == "Q"]
     if not q.empty:
-        p["q_best"] = q.groupby("Driver")["LapTime"].min().to_dict()
-        if "Team" in q.columns:
-            # matches pivot_table(aggfunc="first"): first non-null per group
-            p["q_team"] = q.groupby("Driver")["Team"].first().to_dict()
+        q_best = q.groupby("Driver")["LapTime"].min().to_dict()
+        valid = {d: v for d, v in q_best.items() if not pd.isna(v)}
+        if valid:
+            sbest = min(valid.values())
+            # per-session gap % to session best (gap-to-pole / form score;
+            # zero best -> ±inf, exactly the old pivot division)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p["q_gaps"] = {
+                    d: float(np.float64(v - sbest) / np.float64(sbest) * 100.0)
+                    for d, v in valid.items()
+                }
+            if "Team" in q.columns:
+                # teammate pair deltas within the event (reference
+                # features.py:135-185 intent): for same-team pairs with both
+                # laps valid and the teammate's > 0, driver i accumulates
+                # (v_j - v_i) / v_j * 100. NaN teams pair with nothing
+                # (NaN != NaN), covering the my_team.notna() guard.
+                team = q.groupby("Driver")["Team"].first().to_dict()
+                tm_sum: dict = {}
+                tm_cnt: dict = {}
+                for i, vi in valid.items():
+                    ti = team.get(i)
+                    if ti is None or (isinstance(ti, float) and np.isnan(ti)):
+                        continue
+                    for j, vj in valid.items():
+                        if j == i or team.get(j) != ti or not vj > 0:
+                            continue
+                        tm_sum[i] = tm_sum.get(i, 0.0) + (vj - vi) / vj * 100.0
+                        tm_cnt[i] = tm_cnt.get(i, 0) + 1
+                if tm_cnt:
+                    p["tm_sum"], p["tm_cnt"] = tm_sum, tm_cnt
     lt = ev.dropna(subset=["LapTime"])
     g = lt.groupby("Driver")["LapTime"]
     p["lap_sum"] = g.sum().to_dict()
