@@ -24,6 +24,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_barrier_is_noop_without_distributed_runtime():
+    """`parallel.distributed.barrier` must be callable in single-process
+    mode (no jax.distributed client) — library code can call it
+    unconditionally between compile and first collective."""
+    from monte_carlo_gp_tpu.parallel.distributed import barrier
+
+    barrier("not-distributed")  # must not raise
+
+
 @pytest.mark.slow
 def test_multiprocess_sharded_monte_carlo_bitwise(tmp_path):
     n_procs = 4
