@@ -55,7 +55,12 @@ def main():
     args = parser.parse_args()
 
     from monte_carlo_gp_tpu.models.predictor import F1Predictor
-    from monte_carlo_gp_tpu.utils.jax_setup import enable_persistent_compilation_cache
+    from monte_carlo_gp_tpu.utils.jax_setup import (
+        enable_persistent_compilation_cache,
+        honor_platform_env,
+    )
+
+    honor_platform_env()
     from monte_carlo_gp_tpu.validate.backtest import (
         backtest_model,
         backtest_model_batched,

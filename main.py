@@ -14,7 +14,12 @@ import argparse
 
 def build_predictor(args):
     from monte_carlo_gp_tpu.models.predictor import F1Predictor
-    from monte_carlo_gp_tpu.utils.jax_setup import enable_persistent_compilation_cache
+    from monte_carlo_gp_tpu.utils.jax_setup import (
+        enable_persistent_compilation_cache,
+        honor_platform_env,
+    )
+
+    honor_platform_env()
 
     enable_persistent_compilation_cache(args.cache_dir)
     backend = None

@@ -12,6 +12,31 @@ from __future__ import annotations
 from pathlib import Path
 
 
+def honor_platform_env() -> None:
+    """Make an explicit JAX_PLATFORMS env request actually win.
+
+    Some environments (this sandbox's sitecustomize among them)
+    force-register an out-of-process TPU plugin in every python
+    interpreter, which silently overrides JAX_PLATFORMS=cpu — the env var
+    is consumed before the plugin registers. Re-asserting the request
+    through jax.config BEFORE the backend initializes restores the
+    documented env-var semantics, and keeps a process that asked for CPU
+    from ever touching the remote-TPU tunnel (whose first contact can
+    hang for minutes when the tunnel is degraded). Called by the CLIs at
+    startup; a no-op when JAX_PLATFORMS is unset.
+    """
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except (AttributeError, ValueError):
+            pass
+
+
 def enable_persistent_compilation_cache(cache_dir: str | Path | None = None) -> None:
     """Ensure JAX's persistent compilation cache is active.
 
