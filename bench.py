@@ -13,6 +13,7 @@ JSON line.
 """
 
 import json
+import subprocess
 import sys
 import time
 
@@ -23,9 +24,56 @@ N_DRIVERS = 20
 TOTAL_LAPS = 57
 N_SIMS = 1_048_576
 
+# Tunnel-outage resilience (VERDICT r3 #1): the remote TPU backend can be
+# transiently UNAVAILABLE or hang for minutes; a one-shot jax.devices() in
+# this process would either raise or wedge the whole bench. Probe with a
+# tiny op in a *subprocess* (so a hung backend init can be killed) under a
+# bounded retry/backoff loop before committing this process to the backend.
+PROBE_ATTEMPTS = 5
+PROBE_TIMEOUTS_S = (90, 120, 150, 180, 240)  # per-attempt subprocess budget
+PROBE_BACKOFF_S = (10, 20, 40, 60)  # sleep between attempts
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def probe_backend() -> bool:
+    """Return True once a tiny op completes on the default backend.
+
+    Each attempt runs in a fresh subprocess with a hard timeout, because a
+    sick tunnel makes backend init *hang* (observed >9 min) rather than
+    fail fast, and a poisoned in-process backend cannot be retried.
+    """
+    snippet = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "d = jax.devices();"
+        "v = float(np.asarray(jnp.ones(8).sum()));"
+        "print(d[0].platform, v)"
+    )
+    for i in range(PROBE_ATTEMPTS):
+        t0 = time.perf_counter()
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", snippet],
+                capture_output=True, text=True,
+                timeout=PROBE_TIMEOUTS_S[i],
+            )
+        except subprocess.TimeoutExpired:
+            log(f"probe {i + 1}/{PROBE_ATTEMPTS}: timed out after "
+                f"{PROBE_TIMEOUTS_S[i]}s")
+        else:
+            dt = time.perf_counter() - t0
+            if out.returncode == 0:
+                log(f"probe {i + 1}/{PROBE_ATTEMPTS}: ok in {dt:.1f}s "
+                    f"({out.stdout.strip()})")
+                return True
+            tail = (out.stderr or "").strip().splitlines()
+            log(f"probe {i + 1}/{PROBE_ATTEMPTS}: rc={out.returncode} "
+                f"after {dt:.1f}s: {tail[-1] if tail else '?'}")
+        if i < PROBE_ATTEMPTS - 1:
+            time.sleep(PROBE_BACKOFF_S[i])
+    return False
 
 
 def standard_params():
@@ -50,6 +98,19 @@ def standard_params():
 
 
 def main() -> None:
+    if not probe_backend():
+        log("backend unreachable after bounded probe/retry; emitting "
+            "structured failure")
+        print(json.dumps({
+            "metric": "race_sims_per_sec_per_chip_20drv_57laps",
+            "value": None,
+            "unit": "sims/s",
+            "vs_baseline": None,
+            "error": "backend_unavailable_after_probe_retries",
+            "probe_attempts": PROBE_ATTEMPTS,
+        }))
+        sys.exit(2)
+
     import jax
 
     devices = jax.devices()

@@ -115,8 +115,12 @@ class F1FeatureEngine:
             pd.concat(all_laps, ignore_index=True) if all_laps else pd.DataFrame()
         )
         # marks the archive as loader-built so _t() may use the memoized
-        # per-event partials (a directly-assigned `laps` frame won't match)
-        self._laps_id = id(self.laps)
+        # per-event partials. An unforgeable token carried on the frame's
+        # attrs (not id(): CPython reuses ids after GC, so a replacement
+        # frame could collide and silently reuse stale partials) — a
+        # directly-assigned `laps` frame can never satisfy the guard.
+        self._laps_token = object()
+        self.laps.attrs["_mcgp_loader_token"] = self._laps_token
         self.race_results = (
             pd.concat(all_results, ignore_index=True)
             if all_results
@@ -182,7 +186,10 @@ class F1FeatureEngine:
         # order). Equality with a from-scratch engine is pinned by
         # tests/test_features.py::test_event_partial_memo_matches_fresh.
         parts = []
-        if getattr(self, "_laps_id", None) == id(laps):
+        if (
+            getattr(self, "_laps_token", None) is not None
+            and laps.attrs.get("_mcgp_loader_token") is self._laps_token
+        ):
             # archive built by load_historical_data: events known, partials
             # memoized across walk-forward rebuilds
             for season, name, sessions in self._events:

@@ -362,29 +362,35 @@ class F1Predictor:
         n_simulations: int,
         seed: int | None = None,
         engine: str | None = None,
+        key: jax.Array | None = None,
     ) -> np.ndarray:
         """Run the Monte Carlo for a prepared weekend; returns the (D, D)
         finish-probability matrix. `engine` overrides the predictor's
-        configured backend for this call."""
+        configured backend for this call. `key` (a PRNG key) overrides
+        `seed` — callers that derive per-race keys from a season fold_in
+        chain (validate/backtest.py) pass it so the seeding contract is
+        identical across engine paths."""
         engine = resolve_engine(engine) if engine else self._engine
-        key = jax.random.PRNGKey(0 if seed is None else seed)
+        if key is None:
+            key = jax.random.PRNGKey(0 if seed is None else seed)
         # One compile per lap-count bucket serves every circuit (see
         # _lap_bucket); the actual length rides in as a traced scalar.
         bucket = _lap_bucket(plan.total_laps)
         race_laps = (
             None if bucket == plan.total_laps else jnp.int32(plan.total_laps)
         )
-        if engine == "pallas" and plan.params.n_drivers > 32:
-            # The fused kernel's rank keys pack rank*32+row (pallas_engine
-            # `rank_key`), capping the driver axis at 32. The reference
-            # simulator is size-generic (simulation.py:59-100), so 'auto'
-            # must be too: fall back to the XLA lap-scan engine, which has
-            # no field-size limit, instead of raising from the guard.
+        if engine == "pallas" and plan.params.n_drivers > 64:
+            # The fused kernel's rank keys pack rank*M+row (pallas_engine
+            # `rank_key`, M=32 or 64 by field size), capping the driver axis
+            # at 64. The reference simulator is size-generic
+            # (simulation.py:59-100), so 'auto' must be too: fall back to
+            # the XLA lap-scan engine, which has no field-size limit,
+            # instead of raising from the guard.
             from monte_carlo_gp_tpu.utils.logging import log_event
 
             log_event(
                 "engine_fallback_xla",
-                reason="n_drivers>32 exceeds the fused kernel's rank-key packing",
+                reason="n_drivers>64 exceeds the fused kernel's rank-key packing",
                 n_drivers=plan.params.n_drivers,
             )
             engine = "xla"

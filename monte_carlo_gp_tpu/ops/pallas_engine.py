@@ -210,22 +210,26 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
     # reference's stable sort and the oracles.
     #
     # bitcast(f32) is strictly monotone for non-negative floats, so
-    #   ((bitcast(max(cum, 0.25)) - bitcast(0.25)) >> 2) * 32 + row
-    # orders by (cum quantized to 4 ULP, row index) in int32 for up to 32
-    # rows (guarded in run_monte_carlo_pallas). Live keys stay below the
-    # 2.1e9 DNF sentinel for cum < ~5e8 s (make_sim_params caps lap pace at
-    # 15,000 s, keeping any plausible race orders of magnitude inside), and
-    # the 0.25 s floor keeps tiny/zero times in-domain (sub-floor values
-    # tie -> index).
-    # Pairs distinct-but-within-4-ULP (milliseconds at race scale) arbitrate
-    # by index instead of value — the same arbitration applied to exact
-    # ties, far inside measurement noise (validated vs the native oracle at
-    # 262k sims). Mirrors ops/ranking.rank_by_unique.
+    #   ((bitcast(max(cum, 0.25)) - bitcast(0.25)) >> Q) * M + row
+    # orders by (cum quantized to 2^Q ULP, row index) in int32. The packing
+    # widens with the (static) field size: (Q=2, M=32) up to 32 rows — the
+    # original layout, so every D<=32 result stays bitwise unchanged — and
+    # (Q=3, M=64) for 33..64 rows (guarded in run_monte_carlo_pallas). Both
+    # scale quantized cum by M >> Q = 8, so the int32 headroom is identical:
+    # live keys stay below the 2.1e9 DNF sentinel for cum < ~5e8 s
+    # (make_sim_params caps lap pace at 15,000 s, keeping any plausible race
+    # orders of magnitude inside), and the 0.25 s floor keeps tiny/zero
+    # times in-domain (sub-floor values tie -> index).
+    # Pairs distinct-but-within-2^Q-ULP (milliseconds at race scale)
+    # arbitrate by index instead of value — the same arbitration applied to
+    # exact ties, far inside measurement noise (validated vs the native
+    # oracle at 262k sims). Mirrors ops/ranking.rank_by_unique.
     _IKEY_BASE = 0x3E800000  # bitcast(0.25f)
+    _Q_SHIFT, _ROW_MULT = (2, 32) if d <= 32 else (3, 64)
 
     def rank_key(cum, row_iota, dnf=None):
         ikey = pltpu.bitcast(jnp.maximum(cum, 0.25), jnp.int32)
-        ikey = ((ikey - _IKEY_BASE) >> 2) * 32 + row_iota
+        ikey = ((ikey - _IKEY_BASE) >> _Q_SHIFT) * _ROW_MULT + row_iota
         if dnf is None:
             return ikey
         # DNF cars sort last (mirrors where(dnf, INF, cum)), distinct keys.
@@ -999,10 +1003,10 @@ def run_monte_carlo_pallas_season(
             f"sims_per_tile={sims_per_tile}"
         )
     stacked, d_max = stack_params(params_list)
-    if d_max > 32:
+    if d_max > 64:
         raise ValueError(
-            "the fused kernel's rank keys pack *32+row (rank_key): driver "
-            "axis is limited to 32; use the XLA season path for larger fields"
+            "the fused kernel's rank keys pack *64+row (rank_key): driver "
+            "axis is limited to 64; use the XLA season path for larger fields"
         )
     if len(race_laps_list) != len(params_list):
         raise ValueError("race_laps_list must match params_list")
@@ -1044,10 +1048,10 @@ def run_monte_carlo_pallas(
         raise ValueError(
             f"n_sims={n_sims} must be a multiple of sims_per_tile={sims_per_tile}"
         )
-    if params.n_drivers > 32:
+    if params.n_drivers > 64:
         raise ValueError(
-            "the fused kernel's rank keys pack *32+row (rank_key): driver "
-            "axis is limited to 32; use the XLA engine for larger fields"
+            "the fused kernel's rank keys pack *64+row (rank_key): driver "
+            "axis is limited to 64; use the XLA engine for larger fields"
         )
     return _run_pallas_jit(
         params, key, n_sims, total_laps, sims_per_tile, interpret, race_laps
@@ -1158,10 +1162,10 @@ def run_monte_carlo_pallas_sharded(
         raise ValueError(
             f"n_sims={n_sims} must be a multiple of sims_per_tile={sims_per_tile}"
         )
-    if params.n_drivers > 32:
+    if params.n_drivers > 64:
         raise ValueError(
-            "the fused kernel's rank keys pack *32+row (rank_key): driver "
-            "axis is limited to 32; use the XLA engine for larger fields"
+            "the fused kernel's rank keys pack *64+row (rank_key): driver "
+            "axis is limited to 64; use the XLA engine for larger fields"
         )
     if mesh is None:
         from monte_carlo_gp_tpu.parallel.mesh import make_mesh

@@ -28,26 +28,30 @@ def rank_by_unique(keys: jnp.ndarray, dnf: jnp.ndarray | None = None) -> jnp.nda
     """`rank_by` for non-negative f32 time keys, ~2.5x cheaper.
 
     Builds strictly-unique int32 keys via the monotone f32 bit pattern —
-    ((bitcast(max(k, 0.25)) - bitcast(0.25)) >> 2) * 32 + index — so the
+    ((bitcast(max(k, 0.25)) - bitcast(0.25)) >> Q) * M + index — so the
     pairwise comparison needs ONE compare instead of the three-op
     lexicographic tie-break (the (..., D, D) comparison tensor is the lap
-    step's largest intermediate). Exact f32 ties, pairs within 4 ULP
-    (≈4 ms at race scale), and values below 0.25 s arbitrate by index —
-    the same arbitration `rank_by` applies to exact ties, validated against
-    the native oracle at 262k sims (sub-noise-floor TV; mirrors
-    ops/pallas_engine.rank_key). Exact-ordering domain: [0.25, ~5e8) s —
-    make_sim_params caps lap pace at 15,000 s, keeping any plausible race
-    orders of magnitude inside. `dnf` marks cars that sort last (distinct
-    keys)."""
+    step's largest intermediate). The packing widens with the field:
+    (Q=2, M=32) up to 32 rows (the original layout — every D<=32 result
+    stays bitwise unchanged) and (Q=3, M=64) for 33..64; both scale
+    quantized keys by M >> Q = 8, so the int32 headroom is identical.
+    Exact f32 ties, pairs within 2^Q ULP (≈4-8 ms at race scale), and
+    values below 0.25 s arbitrate by index — the same arbitration `rank_by`
+    applies to exact ties, validated against the native oracle at 262k sims
+    (sub-noise-floor TV; mirrors ops/pallas_engine.rank_key).
+    Exact-ordering domain: [0.25, ~5e8) s — make_sim_params caps lap pace
+    at 15,000 s, keeping any plausible race orders of magnitude inside.
+    `dnf` marks cars that sort last (distinct keys)."""
     d = keys.shape[-1]
-    if d > 32:
-        # the *32+index packing is only injective for <=32 rows; rare
+    if d > 64:
+        # the *M+index packing is only injective for <=64 rows; rare
         # oversize fields take the exact lexicographic path instead
         masked = keys if dnf is None else jnp.where(dnf, jnp.float32(1e30), keys)
         return rank_by(masked)
+    q_shift, row_mult = (2, 32) if d <= 32 else (3, 64)
     idx = jnp.arange(d, dtype=jnp.int32)
     bits = jax.lax.bitcast_convert_type(jnp.maximum(keys, _IKEY_FLOOR), jnp.int32)
-    ikey = ((bits - _IKEY_BASE) >> 2) * 32 + idx
+    ikey = ((bits - _IKEY_BASE) >> q_shift) * row_mult + idx
     if dnf is not None:
         ikey = jnp.where(dnf, _DNF_KEY_BASE + idx, ikey)
     a = ikey[..., :, None]

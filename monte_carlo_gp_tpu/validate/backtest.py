@@ -285,7 +285,7 @@ def backtest_model_batched(
                     print(f"Skipping {season} {race}: {e}")
         if not plans:
             continue
-        if engine == "pallas" and max(p.params.n_drivers for p in plans) <= 32:
+        if engine == "pallas" and max(p.params.n_drivers for p in plans) <= 64:
             # Flagship-kernel season: ONE race-batched Pallas launch whose
             # flat tile grid spans every race (driver axis padded to the
             # widest field, per-race lap counts masking a shared compile
@@ -304,8 +304,10 @@ def backtest_model_batched(
             tile = min(DEFAULT_SIMS_PER_TILE, int(n_simulations))
             n_eff = -(-int(n_simulations) // tile) * tile
             bucket = max(_lap_bucket(p.total_laps) for p in plans)
-            pmesh = None
-            if len(jax.devices()) > 1:
+            # Honor an explicitly passed mesh (sub-mesh device selection);
+            # default to all devices only when none was given.
+            pmesh = mesh
+            if pmesh is None and len(jax.devices()) > 1:
                 from monte_carlo_gp_tpu.parallel.mesh import make_mesh
 
                 pmesh = make_mesh({"sims": len(jax.devices())})
@@ -323,12 +325,16 @@ def backtest_model_batched(
             predictor.last_effective_sims = n_eff
             probs = list(season_probs)
         elif engine == "pallas":
-            # >32-driver fields exceed the fused kernel's rank-key packing:
+            # >64-driver fields exceed the fused kernel's rank-key packing:
             # per-race simulate_plan falls back to the XLA engine per race.
+            # Per-race keys come from the SAME fold_in chain as the season
+            # launch (race r of season key fold_in(r)), so the seeding
+            # contract does not depend on which path the field size takes.
+            season_key = jax.random.PRNGKey(seed * 1_000_003 + season)
             probs = [
                 predictor.simulate_plan(
-                    plan, n_simulations, seed * 1_000_003 + season * 100 + r,
-                    engine="pallas",
+                    plan, n_simulations, engine="pallas",
+                    key=jax.random.fold_in(season_key, r),
                 )
                 for r, plan in enumerate(plans)
             ]

@@ -372,15 +372,9 @@ def test_simulate_plan_uses_sharded_pallas_on_multidevice(tmp_path):
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
 
 
-def test_simulate_plan_falls_back_to_xla_above_32_drivers():
-    """The fused kernel caps at 32 drivers (rank-key *32+row packing), but
-    the reference simulator is size-generic (simulation.py:59-100) — so
-    simulate_plan(engine='pallas') on a 33-driver field must fall back to
-    the XLA engine and succeed, not raise from the pallas guard."""
-    from monte_carlo_gp_tpu.models import predictor as predictor_mod
-    from monte_carlo_gp_tpu.models.predictor import F1Predictor, WeekendPlan
+def _wide_field_plan(d: int):
+    from monte_carlo_gp_tpu.models.predictor import WeekendPlan
 
-    d = 33
     gp = np.full((d, d), 1.0 / d, np.float32)
     params = make_sim_params(
         grid_probs=gp,
@@ -393,7 +387,7 @@ def test_simulate_plan_falls_back_to_xla_above_32_drivers():
         overtake_delta=0.6,
     )
     drivers = [f"D{i:02d}" for i in range(d)]
-    plan = WeekendPlan(
+    return WeekendPlan(
         params=params,
         total_laps=10,
         drivers=drivers,
@@ -402,9 +396,49 @@ def test_simulate_plan_falls_back_to_xla_above_32_drivers():
         prediction_point="fp2",
         grid_is_actual=False,
     )
+
+
+def _bare_predictor():
+    from monte_carlo_gp_tpu.models.predictor import F1Predictor
+
     p = F1Predictor.__new__(F1Predictor)  # engine routing needs no loader
     p._sims_per_block = None
     p._engine = "xla"
+    return p
+
+
+def test_simulate_plan_pallas_handles_33_to_64_drivers():
+    """The widened rank-key packing (rank*64+row for 33..64-row fields)
+    makes the fused kernel take any field the reference simulator takes up
+    to 64 drivers (simulation.py:59-100 is size-generic) — so a 40-driver
+    field must run the PALLAS path, not fall back."""
+    from monte_carlo_gp_tpu.models import predictor as predictor_mod
+    from monte_carlo_gp_tpu.ops.pallas_engine import DEFAULT_SIMS_PER_TILE
+
+    d = 40
+    plan = _wide_field_plan(d)
+    p = _bare_predictor()
+    predictor_mod._ALLOW_PALLAS_OFF_TPU = True
+    try:
+        probs = p.simulate_plan(plan, 300, seed=0, engine="pallas")
+    finally:
+        predictor_mod._ALLOW_PALLAS_OFF_TPU = False
+    assert probs.shape == (d, d)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+    # Pallas path ran: sims round UP to whole kernel tiles.
+    tile = min(DEFAULT_SIMS_PER_TILE, 300)
+    assert p.last_effective_sims == -(-300 // tile) * tile
+
+
+def test_simulate_plan_falls_back_to_xla_above_64_drivers():
+    """Beyond 64 drivers the rank-key packing runs out of int32 headroom:
+    simulate_plan(engine='pallas') must fall back to the size-generic XLA
+    engine and succeed, not raise from the pallas guard."""
+    from monte_carlo_gp_tpu.models import predictor as predictor_mod
+
+    d = 65
+    plan = _wide_field_plan(d)
+    p = _bare_predictor()
     predictor_mod._ALLOW_PALLAS_OFF_TPU = True
     try:
         probs = p.simulate_plan(plan, 128, seed=0, engine="pallas")

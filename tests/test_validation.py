@@ -271,3 +271,133 @@ def test_partial_checkpoint_resume_matches_uninterrupted(tmp_path):
     # races 2-3 were re-simulated; Elo-dependent pole predictions must match
     assert resumed["pole_brier"] == pytest.approx(full["pole_brier"], abs=1e-9)
     assert resumed["win_brier"] == pytest.approx(full["win_brier"], abs=1e-9)
+
+
+# -- mixed-field seasons (fields wider than the fused kernel's packing) --------
+
+
+def _widen_plan(plan, width: int):
+    """Widen a prepared weekend to `width` drivers by appending slow
+    synthetic backmarkers: each fake qualifies one-hot at a tail grid slot
+    and carries +5s/lap pace, so the real field's predictions are left
+    essentially untouched while the driver axis exceeds the kernel caps."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    d = len(plan.drivers)
+    if width <= d:
+        return plan
+    extra = width - d
+    p = plan.params
+    grid = np.zeros((width, width), np.float32)
+    grid[:d, :d] = np.asarray(p.grid_probs)
+    for j in range(extra):
+        grid[d + j, d + j] = 1.0
+
+    def pad(arr, fill):
+        a = np.asarray(arr, np.float32)
+        return np.concatenate([a, np.full(extra, fill, np.float32)])
+
+    params = dataclasses.replace(
+        p,
+        grid_probs=jnp.asarray(grid),
+        base_pace=jnp.asarray(
+            pad(p.base_pace, float(np.asarray(p.base_pace).max()) + 5.0)
+        ),
+        tire_deg=jnp.asarray(pad(p.tire_deg, 0.05)),
+        variance=jnp.asarray(pad(p.variance, 0.1)),
+        dnf_rate=jnp.asarray(pad(p.dnf_rate, 0.001)),
+        team_dnf_rate=jnp.asarray(pad(p.team_dnf_rate, 0.002)),
+        active=jnp.concatenate(
+            [jnp.asarray(p.active), jnp.ones(extra, bool)]
+        ),
+    )
+    fakes = [f"X{j:02d}" for j in range(extra)]
+    qp = {
+        dr: list(np.asarray(plan.quali_probs[dr], float)) + [0.0] * extra
+        for dr in plan.drivers
+    }
+    for j, f in enumerate(fakes):
+        row = [0.0] * width
+        row[d + j] = 1.0
+        qp[f] = row
+    return dataclasses.replace(
+        plan, drivers=list(plan.drivers) + fakes, quali_probs=qp, params=params
+    )
+
+
+def _widening_factory(tmp_path, widths, n_events=2):
+    """Predictor factory whose prepare_weekend widens race k's field to
+    widths[k] drivers (see _widen_plan)."""
+
+    def make():
+        p = F1Predictor(
+            cache_dir=tmp_path,
+            backend=SyntheticBackend(seed=5, n_events=n_events),
+        )
+        orig = p.prepare_weekend
+        state = {"i": 0}
+
+        def prepare(season, race, **kw):
+            plan = orig(season, race, **kw)
+            w = widths[state["i"] % len(widths)]
+            state["i"] += 1
+            return _widen_plan(plan, w)
+
+        p.prepare_weekend = prepare
+        return p
+
+    return make
+
+
+@pytest.mark.slow
+def test_batched_backtest_mixed_field_40_uses_season_kernel(tmp_path):
+    """A mixed season whose widest field is 40 drivers stays INSIDE the
+    fused kernel's widened 64-driver rank-key packing: the pallas batched
+    backtest must take the one-launch season path (narrow races padded to
+    the widest field) and return valid metrics. Off-TPU this runs the
+    Pallas interpreter (structure-only PRNG)."""
+    from monte_carlo_gp_tpu.models import predictor as predictor_mod
+    from monte_carlo_gp_tpu.validate.backtest import backtest_model_batched
+
+    predictor_mod._ALLOW_PALLAS_OFF_TPU = True
+    try:
+        res = backtest_model_batched(
+            _widening_factory(tmp_path, [40, 20]), [2024], seed=4,
+            n_simulations=256, engine="pallas", verbose=False,
+        )
+    finally:
+        predictor_mod._ALLOW_PALLAS_OFF_TPU = False
+    assert res["n_races"] == 2
+    assert 0.0 <= res["pole_brier"] <= 1.0
+    assert 0.0 <= res["win_brier"] <= 1.0
+
+
+@pytest.mark.slow
+def test_batched_backtest_mixed_field_over64_falls_back(tmp_path, caplog):
+    """One 70-driver race pushes the season past the fused kernel's
+    64-driver cap: backtest_model_batched(engine='pallas') must drop to the
+    per-race path, whose oversize races fall back to the XLA engine (logged
+    `engine_fallback_xla` event — the degraded path is observable, not
+    silent), and still return valid metrics (reference validation.py:161-209
+    is field-size-generic)."""
+    import logging
+
+    from monte_carlo_gp_tpu.models import predictor as predictor_mod
+    from monte_carlo_gp_tpu.validate.backtest import backtest_model_batched
+
+    predictor_mod._ALLOW_PALLAS_OFF_TPU = True
+    try:
+        with caplog.at_level(logging.INFO, logger="mcgp"):
+            res = backtest_model_batched(
+                _widening_factory(tmp_path, [70, 20]), [2024], seed=4,
+                n_simulations=256, engine="pallas", verbose=False,
+            )
+    finally:
+        predictor_mod._ALLOW_PALLAS_OFF_TPU = False
+    assert res["n_races"] == 2
+    assert 0.0 <= res["pole_brier"] <= 1.0
+    assert 0.0 <= res["win_brier"] <= 1.0
+    assert any("engine_fallback_xla" in r.message for r in caplog.records)
