@@ -137,6 +137,30 @@ class FastF1Backend:
         }
 
 
+# Process-wide parquet frame cache keyed by (path, mtime_ns, size): the
+# walk-forward backtest builds a FRESH predictor per season (leakage
+# control), so the same on-disk event files are re-read by every season's
+# loader instance — ~2 s/season of pyarrow reads for data that has not
+# changed. Keying on stat() makes an overwrite (e.g. --build-cache) a
+# cache miss. Frames are shared by reference, same as the per-instance
+# `_memo`: all internal consumers treat loaded frames as immutable
+# (`.assign`/boolean-mask copies).
+_FRAME_CACHE: dict = {}
+_FRAME_CACHE_MAX = 1024
+
+
+def _read_parquet_cached(p: Path) -> pd.DataFrame:
+    st = p.stat()
+    key = (str(p), st.st_mtime_ns, st.st_size)
+    df = _FRAME_CACHE.get(key)
+    if df is None:
+        df = pd.read_parquet(p)
+        if len(_FRAME_CACHE) >= _FRAME_CACHE_MAX:
+            _FRAME_CACHE.pop(next(iter(_FRAME_CACHE)))
+        _FRAME_CACHE[key] = df
+    return df
+
+
 class DiskCacheBackend:
     """Read-only backend over the normalized parquet/json cache."""
 
@@ -159,11 +183,11 @@ class DiskCacheBackend:
 
     def load_laps(self, season: int, event: str, session: str) -> pd.DataFrame | None:
         p = self._event_dir(season, event) / f"laps_{session}.parquet"
-        return pd.read_parquet(p) if p.exists() else None
+        return _read_parquet_cached(p) if p.exists() else None
 
     def load_results(self, season: int, event: str, session: str = "R") -> pd.DataFrame | None:
         p = self._event_dir(season, event) / f"results_{session}.parquet"
-        return pd.read_parquet(p) if p.exists() else None
+        return _read_parquet_cached(p) if p.exists() else None
 
     def load_weather(self, season: int, event: str, session: str) -> dict | None:
         p = self._event_dir(season, event) / f"weather_{session}.json"

@@ -673,6 +673,34 @@ class F1FeatureEngine:
         }
 
 
+def _to_float(col: pd.Series) -> np.ndarray:
+    """Dense float64 view of a (possibly arrow-backed) numeric column."""
+    return col.to_numpy(dtype=float, na_value=np.nan)
+
+
+def _driver_groups(drv: np.ndarray):
+    """Sorted-driver group runs: (unique sorted names, order, starts, ends).
+    `order` is a STABLE argsort, so rows within a group keep their original
+    relative order — the same per-group row order pandas groupby exposes."""
+    order = np.argsort(drv, kind="stable")
+    d_sorted = drv[order]
+    if len(d_sorted) == 0:
+        return [], order, np.empty(0, int), np.empty(0, int)
+    change = np.nonzero(d_sorted[1:] != d_sorted[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(d_sorted)]])
+    return list(d_sorted[starts]), order, starts, ends
+
+
+def _group_min(vals_sorted: np.ndarray, starts, ends) -> list:
+    """Per-group NaN-skipping min (NaN when the whole group is NaN) —
+    exactly pandas groupby.min()."""
+    return [
+        (np.fmin.reduce(vals_sorted[a:b]) if b > a else np.nan)
+        for a, b in zip(starts, ends)
+    ]
+
+
 def _event_partial(ev: pd.DataFrame) -> dict:
     """All per-event pieces of the `_t()` tables for one event's combined
     Q+R laps frame — computed ONCE per event and memoized across
@@ -684,47 +712,83 @@ def _event_partial(ev: pd.DataFrame) -> dict:
     the same formula as the whole-archive pandas version it replaced —
     values are bitwise identical per event; only the cross-event float
     accumulation order can differ (far below the 1e-9 reference-A/B
-    tolerance, and deterministic)."""
+    tolerance, and deterministic).
+
+    Implemented as ONE column-to-numpy conversion + stable-sorted group
+    runs instead of ~12 pandas groupbys: per-(driver,event) scalar access
+    on arrow-backed frames dominated season host prep (~110 ms/event ->
+    ~3 ms). Group key order (sorted drivers) and within-group row order
+    (stable) are exactly what the groupbys produced, so every dict keeps
+    its key order and every reduction sees the same values in the same
+    order."""
     p: dict = {}
-    p["nlaps"] = ev.groupby(["Driver", "session_type"]).size().to_dict()
-    best = ev["LapTime"].min()
-    drv_best = ev.groupby("Driver")["LapTime"].min().to_dict()
+    drv = np.asarray(ev["Driver"], dtype=object)
+    st = np.asarray(ev["session_type"], dtype=object)
+    lt = _to_float(ev["LapTime"])
+    names, order, starts, ends = _driver_groups(drv)
+    lt_sorted = lt[order]
+    st_sorted = st[order]
+
+    # nlaps: groupby(Driver, session_type).size() — sorted (d, s) key order
+    nlaps: dict = {}
+    for d, a, b in zip(names, starts, ends):
+        sess = st_sorted[a:b]
+        for s in sorted(set(sess)):
+            nlaps[(d, s)] = int(np.count_nonzero(sess == s))
+    p["nlaps"] = nlaps
+
+    best = np.fmin.reduce(lt) if len(lt) else np.nan
     # overall event gap % to event best (wet-performance / temp-sensitivity
     # consumers; reference features.py:626-685, :730-786). NaN bests or
     # NaN driver values contribute nothing, matching the old pivot's
     # ~isnan masks; a zero best yields ±inf exactly like the pandas div.
+    drv_best = _group_min(lt_sorted, starts, ends)
     with np.errstate(divide="ignore", invalid="ignore"):
         gaps = {
             d: float(np.float64(v - best) / np.float64(best) * 100.0)
-            for d, v in drv_best.items()
-            if not pd.isna(v) and not pd.isna(best)
+            for d, v in zip(names, drv_best)
+            if not np.isnan(v) and not np.isnan(best)
         }
     if gaps:
         p["ev_gap"] = gaps
-    p["ev_best"] = float(best) if not pd.isna(best) else np.nan
+    p["ev_best"] = float(best) if not np.isnan(best) else np.nan
     # per-sector gap % to the event's sector best (reference
     # features.py:261-320): (sector_best - v) / sector_best * 100
     for col in ("Sector1Time", "Sector2Time", "Sector3Time"):
         if col in ev.columns:
-            sb = ev[col].min()
-            if pd.isna(sb):
+            sv = _to_float(ev[col])
+            sb = np.fmin.reduce(sv) if len(sv) else np.nan
+            if np.isnan(sb):
                 continue
-            sd = ev.groupby("Driver")[col].min().to_dict()
+            sd = _group_min(sv[order], starts, ends)
             with np.errstate(divide="ignore", invalid="ignore"):
                 p["sector_gap_" + col] = {
                     d: float(np.float64(sb - v) / np.float64(sb) * 100.0)
-                    for d, v in sd.items()
-                    if not pd.isna(v)
+                    for d, v in zip(names, sd)
+                    if not np.isnan(v)
                 }
     if "TrackTemp" in ev.columns:
-        p["temp"] = ev["TrackTemp"].mean()
+        tt = _to_float(ev["TrackTemp"])
+        tt = tt[~np.isnan(tt)]
+        p["temp"] = float(tt.mean()) if tt.size else np.nan
     if "Rainfall" in ev.columns:
         p["wet"] = bool(ev["Rainfall"].any())
-    r = ev[ev["session_type"] == "R"]
-    if not r.empty:
-        gr = r.groupby("Driver")["LapTime"]
-        med = gr.median().to_dict()
-        nl = gr.count().to_dict()
+
+    r_mask = st == "R"
+    if r_mask.any():
+        # within one event (season, circuit) are constant, so the old
+        # (Driver, season, circuit) deg grouping reduces to Driver
+        r_drv = drv[r_mask]
+        r_lt = lt[r_mask]
+        r_names, r_order, r_starts, r_ends = _driver_groups(r_drv)
+        r_lt_sorted = r_lt[r_order]
+        med: dict = {}
+        nl: dict = {}
+        for d, a, b in zip(r_names, r_starts, r_ends):
+            v = r_lt_sorted[a:b]
+            v = v[~np.isnan(v)]
+            nl[d] = int(v.size)
+            med[d] = float(np.median(v)) if v.size else np.nan
         # race pace: % gap of each >=5-lap driver's median to the event's
         # fastest eligible median (reference features.py:396-446)
         elig = {d: m for d, m in med.items() if nl.get(d, 0) >= 5}
@@ -734,11 +798,32 @@ def _event_partial(ev: pd.DataFrame) -> dict:
                 p["rp_delta"] = {
                     d: float((m - lead) / lead * 100.0) for d, m in elig.items()
                 }
-        p["deg"] = {k[0]: v for k, v in _deg_slopes_all(r).items()}
-    q = ev[ev["session_type"] == "Q"]
-    if not q.empty:
-        q_best = q.groupby("Driver")["LapTime"].min().to_dict()
-        valid = {d: v for d, v in q_best.items() if not pd.isna(v)}
+        # deg slopes: valid laps sorted by (Driver, LapNumber) stable —
+        # the old _deg_slopes_all global sort restricted to one event
+        keep = ~np.isnan(r_lt)
+        k_drv = r_drv[keep]
+        k_lt = r_lt[keep]
+        if "LapNumber" in ev.columns:
+            k_lap = _to_float(ev["LapNumber"])[r_mask][keep]
+            k_order = np.lexsort((k_lap, k_drv))
+        else:
+            k_order = np.argsort(k_drv, kind="stable")
+        k_names, _, k_starts, k_ends = _driver_groups(k_drv[k_order])
+        k_sorted = k_lt[k_order]
+        p["deg"] = {
+            d: _session_deg_slope(k_sorted[a:b])
+            for d, a, b in zip(k_names, k_starts, k_ends)
+        }
+
+    q_mask = st == "Q"
+    if q_mask.any():
+        q_drv = drv[q_mask]
+        q_lt = lt[q_mask]
+        q_names, q_order, q_starts, q_ends = _driver_groups(q_drv)
+        q_best = _group_min(q_lt[q_order], q_starts, q_ends)
+        valid = {
+            d: float(v) for d, v in zip(q_names, q_best) if not np.isnan(v)
+        }
         if valid:
             sbest = min(valid.values())
             # per-session gap % to session best (gap-to-pole / form score;
@@ -748,13 +833,23 @@ def _event_partial(ev: pd.DataFrame) -> dict:
                     d: float(np.float64(v - sbest) / np.float64(sbest) * 100.0)
                     for d, v in valid.items()
                 }
-            if "Team" in q.columns:
+            if "Team" in ev.columns:
                 # teammate pair deltas within the event (reference
                 # features.py:135-185 intent): for same-team pairs with both
                 # laps valid and the teammate's > 0, driver i accumulates
                 # (v_j - v_i) / v_j * 100. NaN teams pair with nothing
                 # (NaN != NaN), covering the my_team.notna() guard.
-                team = q.groupby("Driver")["Team"].first().to_dict()
+                # team = first NON-NULL Team per driver (groupby .first()).
+                q_team = np.asarray(ev["Team"], dtype=object)[q_mask][q_order]
+                team: dict = {}
+                for d, a, b in zip(q_names, q_starts, q_ends):
+                    team[d] = None
+                    for v in q_team[a:b]:
+                        if v is not None and not (
+                            isinstance(v, float) and np.isnan(v)
+                        ):
+                            team[d] = v
+                            break
                 tm_sum: dict = {}
                 tm_cnt: dict = {}
                 for i, vi in valid.items():
@@ -768,10 +863,22 @@ def _event_partial(ev: pd.DataFrame) -> dict:
                         tm_cnt[i] = tm_cnt.get(i, 0) + 1
                 if tm_cnt:
                     p["tm_sum"], p["tm_cnt"] = tm_sum, tm_cnt
-    lt = ev.dropna(subset=["LapTime"])
-    g = lt.groupby("Driver")["LapTime"]
-    p["lap_sum"] = g.sum().to_dict()
-    p["lap_n"] = g.count().to_dict()
+
+    # per-driver lap-time sum/count over valid laps, original row order
+    # within each group (pandas group sums are sequential in row order)
+    lap_sum: dict = {}
+    lap_n: dict = {}
+    valid_mask = ~np.isnan(lt_sorted)
+    for d, a, b in zip(names, starts, ends):
+        v = lt_sorted[a:b][valid_mask[a:b]]
+        if v.size:
+            s = 0.0
+            for x in v.tolist():
+                s += x
+            lap_sum[d] = s
+            lap_n[d] = int(v.size)
+    p["lap_sum"] = lap_sum
+    p["lap_n"] = lap_n
     return p
 
 
@@ -788,32 +895,6 @@ def _session_deg_slope(secs: np.ndarray) -> float:
     if len(idx) < 5:
         return np.nan
     return float(np.polyfit(idx.astype(float), secs[keep], 1)[0])
-
-
-def _deg_slopes_all(r: pd.DataFrame) -> pd.Series:
-    """Per-(Driver, season, circuit) degradation slopes for the whole race
-    archive in one pass. Replaces groupby.apply (whose per-group frame
-    construction was the single largest table-build cost — the walk-forward
-    backtest rebuilds these tables every race): one global sort, group
-    boundaries by code changes, then the identical numpy math per group."""
-    keys = ["Driver", "season", "circuit"]
-    cols = keys + (["LapNumber"] if "LapNumber" in r.columns else [])
-    rr = r.dropna(subset=["LapTime"]).sort_values(cols, kind="stable")
-    if rr.empty:
-        return pd.Series(dtype=float)
-    idx = pd.MultiIndex.from_frame(rr[keys])
-    # group id per row: increments whenever any key column changes
-    codes = np.stack([np.asarray(c) for c in idx.codes])
-    change = np.any(codes[:, 1:] != codes[:, :-1], axis=0)
-    bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(rr)]])
-    vals = rr["LapTime"].to_numpy(float)
-    out_index, out_vals = [], []
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        out_index.append(idx[a])
-        out_vals.append(_session_deg_slope(vals[a:b]))
-    return pd.Series(
-        out_vals, index=pd.MultiIndex.from_tuples(out_index, names=keys)
-    )
 
 
 import functools

@@ -547,58 +547,83 @@ class F1Predictor:
     def _extract_race_pace(fp_data: pd.DataFrame) -> dict[str, float]:
         """Long-run pace per driver: median of the middle laps, excluding pit
         in/out laps; 25th percentile fallback below 3 laps; field median for
-        drivers without valid times (predictor.py:554-618)."""
+        drivers without valid times (predictor.py:554-618).
+
+        Same per-driver math as the pandas-groupby original, computed over
+        numpy group runs (one column conversion instead of per-(driver,race)
+        frame slicing — host-prep hot path, see features._event_partial)."""
         if fp_data.empty:
             return {}
-        filtered = fp_data
+        from monte_carlo_gp_tpu.models.features import _driver_groups, _to_float
+
+        mask = np.ones(len(fp_data), bool)
         for col in ("PitInTime", "PitOutTime"):
-            if col in filtered.columns:
-                filtered = filtered[filtered[col].isna()]
+            if col in fp_data.columns:
+                mask &= np.isnan(_to_float(fp_data[col]))
+        drv_all = np.asarray(fp_data["Driver"], dtype=object)
+        drv = drv_all[mask]
+        lt = _to_float(fp_data["LapTime"])[mask]
+        if "LapNumber" in fp_data.columns:
+            order = np.lexsort((_to_float(fp_data["LapNumber"])[mask], drv))
+        else:
+            order = np.argsort(drv, kind="stable")
+        names, _, starts, ends = _driver_groups(drv[order])
+        lt_s = lt[order]
         result = {}
-        for driver, grp in filtered.groupby("Driver"):
-            if "LapNumber" in grp.columns:
-                grp = grp.sort_values("LapNumber")
-            valid = grp["LapTime"].dropna()
-            if valid.empty:
+        for d, a, b in zip(names, starts, ends):
+            valid = lt_s[a:b]
+            valid = valid[~np.isnan(valid)]
+            if valid.size == 0:
                 continue
-            if len(valid) < 3:
-                q = valid.quantile(0.25)
-                if pd.notna(q):
-                    result[driver] = float(q)
+            if valid.size < 3:
+                q = np.quantile(valid, 0.25)
+                if not np.isnan(q):
+                    result[d] = float(q)
                 continue
-            middle = valid.iloc[1:-1] if len(valid) > 3 else valid
-            if not middle.empty:
-                result[driver] = float(middle.median())
+            middle = valid[1:-1] if valid.size > 3 else valid
+            if middle.size:
+                result[d] = float(np.median(middle))
         default = float(np.median(list(result.values()))) if result else DEFAULT_PACE
-        for driver in fp_data["Driver"].unique():
+        for driver in dict.fromkeys(drv_all):
             result.setdefault(driver, default)
         return result
 
     @staticmethod
     def _extract_tire_deg(fp_data: pd.DataFrame) -> dict[str, float]:
         """Per-driver linear lap-time slope, clamped [0.01, 0.15]; 0.05 for
-        warming-up (negative) slopes or sparse data (predictor.py:665-714)."""
+        warming-up (negative) slopes or sparse data (predictor.py:665-714).
+        Numpy group runs, same math (see _extract_race_pace)."""
         if fp_data.empty:
             return {}
+        from monte_carlo_gp_tpu.models.features import _driver_groups, _to_float
+
+        drv = np.asarray(fp_data["Driver"], dtype=object)
+        has_lt = "LapTime" in fp_data.columns
+        lt = _to_float(fp_data["LapTime"]) if has_lt else None
+        if "LapNumber" in fp_data.columns:
+            order = np.lexsort((_to_float(fp_data["LapNumber"]), drv))
+        else:
+            order = np.argsort(drv, kind="stable")
+        names, _, starts, ends = _driver_groups(drv[order])
+        lt_s = lt[order] if has_lt else None
         result = {}
-        for driver, grp in fp_data.groupby("Driver"):
-            if len(grp) < 5 or "LapTime" not in grp.columns:
-                result[driver] = DEFAULT_DEG
+        for d, a, b in zip(names, starts, ends):
+            if b - a < 5 or not has_lt:
+                result[d] = DEFAULT_DEG
                 continue
-            if "LapNumber" in grp.columns:
-                grp = grp.sort_values("LapNumber")
-            valid = grp["LapTime"].dropna()
-            if len(valid) < 5:
-                result[driver] = DEFAULT_DEG
+            valid = lt_s[a:b]
+            valid = valid[~np.isnan(valid)]
+            if valid.size < 5:
+                result[d] = DEFAULT_DEG
                 continue
-            x = np.arange(len(valid), dtype=float)
+            x = np.arange(valid.size, dtype=float)
             try:
-                slope = np.polyfit(x, valid.to_numpy(dtype=float), 1)[0]
-                result[driver] = (
+                slope = np.polyfit(x, valid, 1)[0]
+                result[d] = (
                     float(np.clip(slope, 0.01, 0.15)) if slope > 0 else DEFAULT_DEG
                 )
             except (np.linalg.LinAlgError, ValueError):
-                result[driver] = DEFAULT_DEG
+                result[d] = DEFAULT_DEG
         return result
 
     @staticmethod

@@ -15,6 +15,38 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
 
+# Production shape (VERDICT r3 #7): the full 20-driver field over the
+# 57-lap Bahrain-length race — the same shape the bench and the
+# single-process realistic dryrun use — with a modest sim count so four
+# oversubscribed CPU workers still finish inside the test timeout.
+D_DRIVERS = 20
+TOTAL_LAPS = 57
+N_SIMS = 1024
+
+
+def dryrun_params():
+    """The exact SimParams both the workers and the single-process
+    reference run — importable so the bitwise assertion can never drift."""
+    import numpy as np
+
+    from monte_carlo_gp_tpu.config import make_sim_params
+
+    d = D_DRIVERS
+    gp = np.exp(
+        -((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 6.0
+    ).astype(np.float32)
+    gp /= gp.sum(1, keepdims=True)
+    return make_sim_params(
+        grid_probs=gp,
+        base_pace=90 + 0.06 * np.arange(d),
+        tire_deg=np.full(d, 0.05),
+        variance=np.full(d, 0.15),
+        dnf_rate=np.full(d, 0.001),
+        team_dnf_rate=np.full(d, 0.002),
+        pit_loss=21.0,
+        overtake_delta=0.6,
+    )
+
 
 def main(coordinator: str, num_procs: int, proc_id: int, out_path: str) -> None:
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
@@ -34,24 +66,9 @@ def main(coordinator: str, num_procs: int, proc_id: int, out_path: str) -> None:
     assert len(jax.devices()) == num_procs, jax.devices()
     assert len(jax.local_devices()) == 1
 
-    from monte_carlo_gp_tpu.config import make_sim_params
     from monte_carlo_gp_tpu.parallel.mesh import make_mesh
 
-    d = 8
-    gp = np.exp(
-        -((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 6.0
-    ).astype(np.float32)
-    gp /= gp.sum(1, keepdims=True)
-    params = make_sim_params(
-        grid_probs=gp,
-        base_pace=90 + 0.12 * np.arange(d),
-        tire_deg=np.full(d, 0.05),
-        variance=np.full(d, 0.15),
-        dnf_rate=np.full(d, 0.001),
-        team_dnf_rate=np.full(d, 0.002),
-        pit_loss=21.0,
-        overtake_delta=0.6,
-    )
+    params = dryrun_params()
     mesh = make_mesh({"sims": num_procs})
     key = jax.random.PRNGKey(11)
     # AOT-compile, rendezvous, THEN execute: the first execution creates the
@@ -64,7 +81,7 @@ def main(coordinator: str, num_procs: int, proc_id: int, out_path: str) -> None:
 
     with jax.set_mesh(mesh):
         compiled = _sharded_probs.lower(
-            params, key, 1024, 12, mesh, "sims"
+            params, key, N_SIMS, TOTAL_LAPS, mesh, "sims"
         ).compile()
         barrier("mcgp_worker_compiled")
         probs = compiled(params, key)

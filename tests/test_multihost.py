@@ -35,6 +35,9 @@ def test_barrier_is_noop_without_distributed_runtime():
 
 @pytest.mark.slow
 def test_multiprocess_sharded_monte_carlo_bitwise(tmp_path):
+    """Production shape (20 drivers x 57 laps — the bench shape) across
+    REAL process boundaries: 4 gloo-joined single-device workers must
+    reproduce the single-process virtual-mesh histogram bitwise."""
     n_procs = 4
     worker = Path(__file__).parent / "multihost_worker.py"
 
@@ -75,31 +78,19 @@ def test_multiprocess_sharded_monte_carlo_bitwise(tmp_path):
     assert out.exists()
     multi = np.load(out)
 
-    # single-process reference on the in-process virtual mesh
+    # single-process reference on the in-process virtual mesh — the SAME
+    # params/shape the workers ran (imported, so they cannot drift)
     import jax
+    from multihost_worker import N_SIMS, TOTAL_LAPS, dryrun_params
 
-    from monte_carlo_gp_tpu.config import make_sim_params
     from monte_carlo_gp_tpu.parallel.mesh import make_mesh, sharded_monte_carlo
 
-    d = 8
-    gp = np.exp(
-        -((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 6.0
-    ).astype(np.float32)
-    gp /= gp.sum(1, keepdims=True)
-    params = make_sim_params(
-        grid_probs=gp,
-        base_pace=90 + 0.12 * np.arange(d),
-        tire_deg=np.full(d, 0.05),
-        variance=np.full(d, 0.15),
-        dnf_rate=np.full(d, 0.001),
-        team_dnf_rate=np.full(d, 0.002),
-        pit_loss=21.0,
-        overtake_delta=0.6,
-    )
+    params = dryrun_params()
     mesh = make_mesh({"sims": n_procs}, devices=jax.devices()[:n_procs])
     single = np.asarray(
         sharded_monte_carlo(
-            params, jax.random.PRNGKey(11), n_sims=1024, total_laps=12, mesh=mesh
+            params, jax.random.PRNGKey(11), n_sims=N_SIMS,
+            total_laps=TOTAL_LAPS, mesh=mesh,
         )
     )
     np.testing.assert_array_equal(multi, single)
