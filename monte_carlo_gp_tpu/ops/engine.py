@@ -4,8 +4,8 @@
 This is the TPU replacement for the reference's serial loop
 `RaceSimulator.run_monte_carlo` (reference simulation.py:59-100): instead of
 10,000 sequential Python race simulations, all simulations advance together
-through a single `lax.scan` over laps, carrying a (n_sims, D) struct-of-arrays
-state. Simulations are processed in fixed-size blocks (an outer `lax.map`)
+through a single `lax.scan` over laps, carrying a (D, n_sims) driver-major struct-of-arrays
+state (sims on the TPU lane axis — see ops/lap_engine.Cars). Simulations are processed in fixed-size blocks (an outer `lax.map`)
 to bound peak HBM for very large n_sims; within a block, the simulation axis
 is the sharding axis for multi-chip scale-out.
 
@@ -100,7 +100,7 @@ def simulate_races_state(
     total_laps: int,
     race_laps: jax.Array | None = None,
 ):
-    """Simulate `n_sims` races; return ((n_sims, D) 1-indexed finish
+    """Simulate `n_sims` races; return ((D, n_sims) 1-indexed finish
     positions, final `Cars` state). The state return is for tests/debugging.
 
     One grid sample + race per simulation (reference simulation.py:83-94).
@@ -120,7 +120,7 @@ def simulate_races_state(
     cars = init_cars(params, start_pos)
     # Padding slots beyond the real entry list are retired before the start
     # so they classify last and never interact with live cars.
-    cars = dataclasses.replace(cars, dnf=cars.dnf | ~params.active[None, :])
+    cars = dataclasses.replace(cars, dnf=cars.dnf | ~params.active[:, None])
     cars, rank0 = simulate_lap_1(params, cars, start_pos, key)
 
     drs_until0 = jnp.zeros((n_sims,), jnp.int32)
@@ -164,14 +164,20 @@ def simulate_races(
     total_laps: int,
     race_laps: jax.Array | None = None,
 ) -> jax.Array:
-    """Simulate `n_sims` races; return (n_sims, D) 1-indexed finish positions."""
+    """Simulate `n_sims` races; return (D, n_sims) 1-indexed finish positions."""
     return simulate_races_state(params, key, n_sims, total_laps, race_laps)[0]
 
 
 def _histogram(positions: jax.Array, d: int) -> jax.Array:
-    """(S, D) 1-indexed positions -> (D, D) int32 counts[driver, position-1]."""
-    onehot = positions[..., None] == jnp.arange(1, d + 1, dtype=positions.dtype)
-    return jnp.sum(onehot, axis=0, dtype=jnp.int32)
+    """(D, S) 1-indexed positions -> (D, D) int32 counts[driver, position-1].
+
+    One (D, S) compare + lane reduction per position (the fused kernel's
+    histogram form) — no (D, S, D) one-hot materialization."""
+    cols = [
+        jnp.sum(positions == p, axis=-1, dtype=jnp.int32)
+        for p in range(1, d + 1)
+    ]
+    return jnp.stack(cols, axis=-1)
 
 
 @functools.partial(

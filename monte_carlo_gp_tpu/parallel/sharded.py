@@ -80,13 +80,20 @@ def _season_probs(
         positions = simulate_races(params, key, n_sims, max_laps, race_laps=laps)
         return positions
 
-    positions = jax.vmap(one_race)(stacked, race_laps, keys)  # (R, S, D)
+    positions = jax.vmap(one_race)(stacked, race_laps, keys)  # (R, D, S)
     positions = jax.lax.with_sharding_constraint(
-        positions, NamedSharding(mesh, P(race_axis, sims_axis, None))
+        positions, NamedSharding(mesh, P(race_axis, None, sims_axis))
     )
-    d = positions.shape[-1]
-    onehot = positions[..., None] == jnp.arange(1, d + 1, dtype=positions.dtype)
-    counts = jnp.sum(onehot, axis=1, dtype=jnp.int32)  # psum over sims shards
+    d = positions.shape[-2]
+    # (R, D) lane reduction per finish position (no (R, D, S, D) one-hot);
+    # the sum over the sharded sims axis becomes the psum.
+    counts = jnp.stack(
+        [
+            jnp.sum(positions == p, axis=-1, dtype=jnp.int32)
+            for p in range(1, d + 1)
+        ],
+        axis=-1,
+    )
     return counts.astype(jnp.float32) / n_sims
 
 

@@ -508,3 +508,131 @@ def test_small_grid_traces():
             )
         )
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+
+# -- closed-form overtake chain: high-cum regime bound (ADVICE r3 #4) ---------
+
+
+def _sequential_chain(r_cum: np.ndarray, swap: np.ndarray) -> np.ndarray:
+    """The reference's sequential time-rewrite chain (simulation.py:503-534)
+    on position-ordered f32 times: for p in 1..d-1, if swap[p]:
+    rows[p-1] = max(0.1, rows[p-1]-0.1) + 0.3; rows[p] = the max term."""
+    rows = r_cum.astype(np.float32).copy()
+    for p in range(1, len(rows)):
+        if swap[p]:
+            nb = np.float32(max(np.float32(0.1), rows[p - 1] - np.float32(0.1)))
+            rows[p - 1] = nb + np.float32(0.3)
+            rows[p] = nb
+    return rows
+
+
+def _closed_form_chain(r_cum: np.ndarray, swap: np.ndarray) -> np.ndarray:
+    """The kernel's prefix-max closed form (ops/pallas_engine.py lap_body
+    'ot_chain' block), reproduced in numpy f32 with the same op order."""
+    d = len(r_cum)
+    iota = np.arange(d, dtype=np.float32) * np.float32(0.1)
+    swapped = swap.astype(bool)
+    z = np.where(swapped, np.float32(-1e30), r_cum.astype(np.float32) + iota)
+    z = np.maximum.accumulate(z)  # prefix max == the kernel's Kogge-Stone
+    a = np.where(
+        swapped,
+        np.maximum(np.float32(0.1), z - iota),
+        r_cum.astype(np.float32),
+    )
+    swap_next = np.concatenate([swapped[1:], [False]])
+    return np.where(
+        swap_next,
+        np.maximum(np.float32(0.1), a - np.float32(0.1)) + np.float32(0.3),
+        a,
+    ).astype(np.float32)
+
+
+def test_overtake_chain_closed_form_matches_sequential_in_domain():
+    """At race-scale cum (~4e3 s) r_cum is genuinely sorted, z = r_cum+0.1p
+    is strictly increasing, and the closed form picks exactly the
+    sequential chain's run-start: values agree to FP association ULPs."""
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        d = int(rng.integers(2, 33))
+        r_cum = np.sort(
+            rng.uniform(3000.0, 5000.0, d).astype(np.float32)
+        )
+        swap = np.zeros(d, bool)
+        swap[1:] = rng.random(d - 1) < 0.4
+        seq = _sequential_chain(r_cum, swap)
+        clo = _closed_form_chain(r_cum, swap)
+        np.testing.assert_allclose(clo, seq, rtol=1e-6, atol=1e-3)
+
+
+def test_overtake_chain_closed_form_high_cum_bound():
+    """The documented divergence regime, PINNED (ADVICE r3): once cum
+    exceeds ~5e5 s the rank-key quantization bucket (4 ULP, Q=2 packing)
+    is wider than the 0.1 s chain step, so index-arbitrated ranks can hand
+    the chain a LOCALLY DECREASING r_cum; z is then non-monotone and the
+    prefix-max can pick a different run-start than the sequential chain.
+    The divergence is bounded by the bucket width: |closed - sequential|
+    <= max in-bucket out-of-orderness (z[j'] and z[j_true] lie in one
+    quantization bucket). Asserted at cum ~1e6 s where 4 ULP = 0.25 s."""
+    rng = np.random.default_rng(1)
+    base = np.float32(1.0e6)
+    ulp = np.float32(np.spacing(base))  # 0.0625 at 1e6
+    bucket = 4 * ulp  # Q=2 packing (D<=32)
+    assert bucket > 0.1, (bucket, "regime premise: bucket wider than chain step")
+    worst = 0.0
+    diverged = 0
+    for trial in range(500):
+        d = int(rng.integers(4, 33))
+        # sorted-by-quantized-key order: non-decreasing buckets, but values
+        # within a bucket out of order by up to the bucket width
+        steps = rng.choice([0.0, float(bucket)], d - 1, p=[0.7, 0.3])
+        sorted_vals = base + np.cumsum(np.concatenate([[0.0], steps]))
+        jitter = rng.uniform(-float(bucket) / 2, float(bucket) / 2, d)
+        r_cum = (sorted_vals + jitter).astype(np.float32)
+        swap = np.zeros(d, bool)
+        swap[1:] = rng.random(d - 1) < 0.5
+        seq = _sequential_chain(r_cum, swap)
+        clo = _closed_form_chain(r_cum, swap)
+        diff = np.abs(clo - seq).max()
+        worst = max(worst, float(diff))
+        if diff > 1e-2:
+            diverged += 1
+    # the chain DOES diverge in this regime (the test would be vacuous
+    # otherwise), and the divergence never exceeds the documented bound
+    assert diverged > 0, "high-cum construction never diverged — vacuous test"
+    # one bucket of run-start slack + one bucket of value jitter
+    assert worst <= 2 * float(bucket) + 1e-3, (worst, float(bucket))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires real TPU")
+@pytest.mark.slow
+def test_matches_xla_engine_at_40_drivers_on_tpu():
+    """The widened rank-key packing (rank*64+row for 33..64-row fields) must
+    leave the fused kernel distributionally equal to the size-generic XLA
+    engine ABOVE the old 32-driver cap — the reference simulator takes any
+    field (simulation.py:59-100). 16k sims per side at D=40; TV bound 0.07
+    vs a ~0.04 MC noise floor (same budget as the stress matrix)."""
+    from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+    d, laps, n = 40, 30, 16_384
+    rng = np.random.default_rng(9)
+    gp = np.exp(
+        -((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 8.0
+    ).astype(np.float32)
+    gp /= gp.sum(1, keepdims=True)
+    params = make_sim_params(
+        grid_probs=gp,
+        base_pace=90.0 + 0.05 * np.arange(d),
+        tire_deg=np.clip(0.05 + 0.015 * rng.standard_normal(d), 0.01, 0.15),
+        variance=np.full(d, 0.15),
+        dnf_rate=np.full(d, 0.0008),
+        team_dnf_rate=np.full(d, 0.002),
+        pit_loss=21.0,
+        overtake_delta=0.6,
+    )
+    pallas = np.asarray(
+        run_monte_carlo_pallas(params, jax.random.PRNGKey(5), n, laps)
+    )
+    xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(6), n, laps))
+    np.testing.assert_allclose(pallas.sum(axis=1), 1.0, atol=1e-5)
+    tv = 0.5 * np.abs(pallas - xla).sum(axis=1)
+    assert tv.max() < 0.07, tv
