@@ -37,7 +37,9 @@ from monte_carlo_gp_tpu.ops.lap_engine import (
 # Sims per block on TPU. Swept post-carry-slimming at 1M sims x 57 laps:
 # 32k -> 0.86M, 64k -> 0.91M, 131k -> 0.83M, 262k -> 0.85M, 524k -> 0.58M
 # sims/s — the slimmed per-lap working set at 64k sims fits the memory
-# hierarchy best.
+# hierarchy best. NOTE: that sweep predates the driver-major layout flip
+# (KERNEL_DESIGN.md round 7b), which changes the per-lap working set;
+# re-sweep on hardware.
 DEFAULT_BLOCK = 65_536
 
 # The lap scan is carry-traffic-bound on TPU: every carried (n_sims, D)
