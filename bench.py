@@ -148,6 +148,13 @@ def main() -> None:
     np.asarray(jnp.ones(8).sum())
     log(f"backend init (tiny op): {time.perf_counter() - t0:.2f}s")
 
+    # Stage inputs on device once: host-numpy args re-upload on every call,
+    # and per-call transfer latency over the remote tunnel varies by session
+    # (CLAUDE.md measurement trap) — it belongs to neither cold_s nor the
+    # warm timing.
+    params = jax.device_put(params)
+    key = jax.device_put(key)
+
     t0 = time.perf_counter()
     arr = np.asarray(run(key))
     compile_s = time.perf_counter() - t0
@@ -156,10 +163,11 @@ def main() -> None:
     # Best of 4 warm runs with distinct keys; np.asarray forces full host
     # materialization (block_until_ready alone under-reports on the remote
     # TPU tunnel).
+    warm_keys = [jax.device_put(jax.random.fold_in(key, i)) for i in range(4)]
     times = []
-    for i in range(4):
+    for k in warm_keys:
         t0 = time.perf_counter()
-        arr = np.asarray(run(jax.random.fold_in(key, i)))
+        arr = np.asarray(run(k))
         times.append(time.perf_counter() - t0)
     best = min(times)
 
@@ -187,10 +195,13 @@ def main() -> None:
             )
 
         np.asarray(run_xla(key))  # compile
+        xla_keys = [
+            jax.device_put(jax.random.fold_in(key, 10 + i)) for i in range(2)
+        ]
         xla_times = []
-        for i in range(2):
+        for k in xla_keys:
             t0 = time.perf_counter()
-            np.asarray(run_xla(jax.random.fold_in(key, 10 + i)))
+            np.asarray(run_xla(k))
             xla_times.append(time.perf_counter() - t0)
         xla_sims_per_sec = round(n_xla / min(xla_times), 1)
         log(f"xla engine: {xla_sims_per_sec/1e6:.3f}M sims/s/chip")
