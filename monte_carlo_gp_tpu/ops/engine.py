@@ -42,7 +42,7 @@ from monte_carlo_gp_tpu.ops.lap_engine import (
 # re-sweep on hardware.
 DEFAULT_BLOCK = 65_536
 
-# The lap scan is carry-traffic-bound on TPU: every carried (n_sims, D)
+# The lap scan is carry-traffic-bound on TPU: every carried (D, n_sims)
 # array is written and re-read through HBM once per lap. The six integer
 # state fields all fit int8 under the _NARROW_MAX_LAPS=120 guard (the
 # largest value is tire_age <= total_laps + 4 = 124), so the carry is

@@ -1,7 +1,8 @@
 """Fused whole-race Pallas TPU kernel.
 
-The XLA engine (ops/engine.py) round-trips every (n_sims, D) state array
-through HBM once per lap — measured HBM-bound at ~0.57M sims/s/chip. This
+The XLA engine (ops/engine.py) round-trips every (D, n_sims) state array
+through HBM once per lap — measured HBM-bound (~0.57M sims/s/chip in its
+original sims-major form; ops/ranking.py documents the layout flip). This
 kernel keeps the ENTIRE car state resident in VMEM for all laps of a tile of
 simulations: HBM traffic is one parameter read and one (D, D) histogram
 write per tile, making the engine compute-bound on the VPU.

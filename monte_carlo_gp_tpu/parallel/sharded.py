@@ -56,12 +56,14 @@ def stack_params(params_list: list[SimParams]) -> tuple[SimParams, int]:
     return stacked, d_max
 
 
-# Measured note (one v5e): the race-vmap costs ~5x per sim vs the flat
-# engine (5.9s vs 1.1s for 200k sims x 78 masked laps) — XLA lays out the
-# batched (R, S, D[, D]) intermediates less favorably. Tolerable: this path
-# exists for multi-chip scale-out and its warm device time is a small
-# fraction of the walk-forward host prep; the fused Pallas kernel is the
-# single-host flagship.
+# Measured note (one v5e, PRE driver-major flip): the race-vmap cost ~5x
+# per sim vs the flat engine (5.9s vs 1.1s for 200k sims x 78 masked laps)
+# — XLA laid out the batched sims-major intermediates less favorably. The
+# (D, S) flip changes the batched shapes to (R, D, S); re-measure on
+# hardware (queued). Tolerable either way: this path exists for multi-chip
+# scale-out and its warm device time is a small fraction of the
+# walk-forward host prep; the fused Pallas kernel is the single-host
+# flagship.
 @functools.partial(
     jax.jit,
     static_argnames=("n_sims", "max_laps", "mesh", "race_axis", "sims_axis"),
