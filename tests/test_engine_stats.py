@@ -166,6 +166,54 @@ def test_engine_matches_native_oracle_high_n():
     assert tv.max() < 0.012, tv
 
 
+@pytest.mark.slow
+def test_engine_matches_native_oracle_d40():
+    """Large-field distributional anchor (D=40): the size-generic XLA engine
+    is the ONLY engine above the fused kernel's 64-driver ceiling and the
+    fallback for 33..64-driver fields off-TPU, yet every other oracle
+    comparison runs at D<=10 (the D=40 pallas-vs-XLA A/B is TPU-gated).
+    200k native-oracle sims vs 32k engine sims at 40 drivers; bound 0.025 =
+    2.2x the measured agreement (TV max 0.0112, mean-z 2.26)."""
+    from monte_carlo_gp_tpu.validate.native_oracle import available, run_native_oracle
+
+    if not available():
+        pytest.skip("g++ unavailable")
+    d, laps = 40, 30
+    rng = np.random.default_rng(5)
+    grid_probs = np.zeros((d, d), np.float32)
+    for i in range(d):
+        for p in range(d):
+            grid_probs[i, p] = np.exp(-((p - i) ** 2) / 6.0)
+    grid_probs /= grid_probs.sum(axis=1, keepdims=True)
+    sc = dict(
+        grid_probs=grid_probs,
+        base_pace=(
+            90.0 + 0.06 * np.arange(d) + 0.05 * rng.standard_normal(d)
+        ).astype(np.float32),
+        tire_deg=np.clip(0.05 + 0.02 * rng.standard_normal(d), 0.01, 0.15).astype(
+            np.float32
+        ),
+        variance=np.full(d, 0.15, np.float32),
+        dnf_rate=np.full(d, 0.001, np.float32),
+        team_dnf_rate=np.full(d, 0.002, np.float32),
+    )
+    params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
+    n_nat, n_eng = 200_000, 32_768
+    native = run_native_oracle(params, seed=7, n_sims=n_nat, total_laps=laps)
+    engine = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(7), n_eng, laps))
+
+    tv = 0.5 * np.abs(native - engine).sum(axis=1)
+    assert tv.max() < 0.025, tv
+    positions = np.arange(1, d + 1)
+    mean_n = native @ positions
+    mean_e = engine @ positions
+    var_n = native @ positions**2 - mean_n**2
+    var_e = engine @ positions**2 - mean_e**2
+    se = np.sqrt(var_n / n_nat + var_e / n_eng)
+    z = (mean_n - mean_e) / np.maximum(se, 1e-6)
+    assert (np.abs(z) < 4.5).all(), (mean_n, mean_e, z)
+
+
 def _two_compound_scenario(d=10):
     """Every car starts SOFT (d<=10 grid slots are 'top 10'); at 24 laps the
     pit window lands at remaining<=15, so the condition-based pick is SOFT
