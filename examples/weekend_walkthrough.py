@@ -12,6 +12,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
 
+from monte_carlo_gp_tpu.utils.jax_setup import honor_platform_env
+
+honor_platform_env()  # make an explicit JAX_PLATFORMS=cpu request actually win
+
 import jax
 
 from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
