@@ -101,6 +101,7 @@ def simulate_races_state(
     n_sims: int,
     total_laps: int,
     race_laps: jax.Array | None = None,
+    rng_impl: str | None = None,
 ):
     """Simulate `n_sims` races; return ((D, n_sims) 1-indexed finish
     positions, final `Cars` state). The state return is for tests/debugging.
@@ -112,7 +113,11 @@ def simulate_races_state(
     `total_laps` iterations but laps beyond `race_laps` are masked no-ops.
     Used by the multi-race vmap path (parallel/sharded.py) where lap counts
     vary across the batched races (SURVEY.md §7 "variable laps" hard part).
+
+    `rng_impl` selects the bulk bit source (None -> MCGP_RNG_IMPL; see
+    ops/rng.engine_key). The draw-tree structure is impl-independent.
     """
+    key = rng.engine_key(key, rng_impl)
     start_pos = sample_grid(
         jax.random.fold_in(key, rng.STREAM_GRID),
         params.grid_probs,
@@ -165,9 +170,10 @@ def simulate_races(
     n_sims: int,
     total_laps: int,
     race_laps: jax.Array | None = None,
+    rng_impl: str | None = None,
 ) -> jax.Array:
     """Simulate `n_sims` races; return (D, n_sims) 1-indexed finish positions."""
-    return simulate_races_state(params, key, n_sims, total_laps, race_laps)[0]
+    return simulate_races_state(params, key, n_sims, total_laps, race_laps, rng_impl)[0]
 
 
 def _histogram(positions: jax.Array, d: int) -> jax.Array:
@@ -183,7 +189,7 @@ def _histogram(positions: jax.Array, d: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_sims", "total_laps", "sims_per_block")
+    jax.jit, static_argnames=("n_sims", "total_laps", "sims_per_block", "rng_impl")
 )
 def run_monte_carlo(
     params: SimParams,
@@ -192,6 +198,7 @@ def run_monte_carlo(
     total_laps: int,
     sims_per_block: int | None = None,
     race_laps: jax.Array | None = None,
+    rng_impl: str | None = None,
 ) -> jax.Array:
     """Run `n_sims` simulations, return (D, D) float32 probabilities:
     probs[driver, p] = P(driver finishes in position p+1).
@@ -207,7 +214,7 @@ def run_monte_carlo(
     """
     d = params.n_drivers
     if sims_per_block is None or sims_per_block >= n_sims:
-        positions = simulate_races(params, key, n_sims, total_laps, race_laps)
+        positions = simulate_races(params, key, n_sims, total_laps, race_laps, rng_impl)
         counts = _histogram(positions, d)
         return counts.astype(jnp.float32) / n_sims
 
@@ -219,7 +226,9 @@ def run_monte_carlo(
 
     def block(block_idx):
         bkey = jax.random.fold_in(key, block_idx)
-        positions = simulate_races(params, bkey, sims_per_block, total_laps, race_laps)
+        positions = simulate_races(
+            params, bkey, sims_per_block, total_laps, race_laps, rng_impl
+        )
         return _histogram(positions, d)
 
     counts = jax.lax.map(block, jnp.arange(n_blocks, dtype=jnp.int32))

@@ -13,7 +13,21 @@ bitwise; the contract there is distributional equality at fixed seed.
 
 from __future__ import annotations
 
+import os
+
 import jax
+
+# Bit-source implementation for the XLA engine's bulk draws.
+#   threefry2x32 (default) — pure-software counter-based bits; bitwise stable
+#     across backends and JAX versions (the repo's long-standing contract).
+#   rbg — key derivation (fold_in/split) still threefry over the key data,
+#     but bulk bit *generation* lowers to the XLA RngBitGenerator op, which
+#     is hardware-accelerated on TPU (the software threefry costs the XLA
+#     engine ~300 (D,S)-op equivalents per lap — docs/KERNEL_DESIGN.md).
+#     Sharding/device-count bitwise invariance holds (validated in
+#     tests/test_rng_impl.py); values are NOT stable across backends or XLA
+#     versions, so rbg results differ from threefry results at the same seed.
+ENGINE_IMPL = os.environ.get("MCGP_RNG_IMPL", "threefry2x32")
 
 # Stream ids — one per independent random decision in the event model.
 STREAM_GRID = 0          # grid sampling gumbels
@@ -35,3 +49,24 @@ def lap_stream(key: jax.Array, lap, stream: int) -> jax.Array:
 def subkey(key: jax.Array, i: int) -> jax.Array:
     """Derive the i-th subkey of a stream key (e.g. overtake pass/phase)."""
     return jax.random.fold_in(key, i)
+
+
+def engine_key(key: jax.Array, impl: str | None = None) -> jax.Array:
+    """Convert the engine's base key to the configured bit-source impl.
+
+    `impl=None` reads MCGP_RNG_IMPL (module global, default threefry).
+    For 'rbg' the (2,)-word threefry key data is doubled into the (4,)-word
+    rbg layout; all stream structure still comes from `fold_in`, so the
+    threefry and rbg draw trees are derived identically — only the bulk
+    bit generation differs.
+    """
+    impl = impl or ENGINE_IMPL
+    if impl == "threefry2x32":
+        return key
+    import jax.numpy as jnp
+
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    else:
+        data = key
+    return jax.random.wrap_key_data(jnp.concatenate([data, data]), impl=impl)
