@@ -6,7 +6,9 @@ memory hierarchy, so it must be re-swept after any carry or layout change
 (the driver-major flip is exactly such a change — KERNEL_DESIGN.md
 round 7b).
 
-Usage (real TPU): python benchmarks/xla_block_sweep.py
+Usage (real TPU): python benchmarks/xla_block_sweep.py [impl]
+where impl is an optional bit-source (`threefry2x32` default, `rbg` for the
+hardware RngBitGenerator path — ops/rng.engine_key).
 """
 
 import sys
@@ -29,6 +31,9 @@ def main() -> None:
 
     from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
 
+    impl = sys.argv[1] if len(sys.argv) > 1 else None
+    if impl:
+        print(f"rng impl: {impl}", file=sys.stderr, flush=True)
     params = standard_params()
     key = jax.random.PRNGKey(42)
     np.asarray(jax.numpy.ones(8).sum())
@@ -37,7 +42,9 @@ def main() -> None:
     for block in BLOCKS:
 
         def run(k):
-            return run_monte_carlo(params, k, N_SIMS, LAPS, sims_per_block=block)
+            return run_monte_carlo(
+                params, k, N_SIMS, LAPS, sims_per_block=block, rng_impl=impl
+            )
 
         t0 = time.perf_counter()
         np.asarray(run(keys[0]))  # compile
