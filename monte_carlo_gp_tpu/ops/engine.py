@@ -4,8 +4,8 @@
 This is the TPU replacement for the reference's serial loop
 `RaceSimulator.run_monte_carlo` (reference simulation.py:59-100): instead of
 10,000 sequential Python race simulations, all simulations advance together
-through a single `lax.scan` over laps, carrying a (D, n_sims) driver-major struct-of-arrays
-state (sims on the TPU lane axis — see ops/lap_engine.Cars). Simulations are processed in fixed-size blocks (an outer `lax.map`)
+through a single `lax.scan` over laps, carrying a (n_sims, D) struct-of-arrays
+state. Simulations are processed in fixed-size blocks (an outer `lax.map`)
 to bound peak HBM for very large n_sims; within a block, the simulation axis
 is the sharding axis for multi-chip scale-out.
 
@@ -37,12 +37,10 @@ from monte_carlo_gp_tpu.ops.lap_engine import (
 # Sims per block on TPU. Swept post-carry-slimming at 1M sims x 57 laps:
 # 32k -> 0.86M, 64k -> 0.91M, 131k -> 0.83M, 262k -> 0.85M, 524k -> 0.58M
 # sims/s — the slimmed per-lap working set at 64k sims fits the memory
-# hierarchy best. NOTE: that sweep predates the driver-major layout flip
-# (KERNEL_DESIGN.md round 7b), which changes the per-lap working set;
-# re-sweep on hardware.
+# hierarchy best.
 DEFAULT_BLOCK = 65_536
 
-# The lap scan is carry-traffic-bound on TPU: every carried (D, n_sims)
+# The lap scan is carry-traffic-bound on TPU: every carried (n_sims, D)
 # array is written and re-read through HBM once per lap. The six integer
 # state fields all fit int8 under the _NARROW_MAX_LAPS=120 guard (the
 # largest value is tire_age <= total_laps + 4 = 124), so the carry is
@@ -103,7 +101,7 @@ def simulate_races_state(
     race_laps: jax.Array | None = None,
     rng_impl: str | None = None,
 ):
-    """Simulate `n_sims` races; return ((D, n_sims) 1-indexed finish
+    """Simulate `n_sims` races; return ((n_sims, D) 1-indexed finish
     positions, final `Cars` state). The state return is for tests/debugging.
 
     One grid sample + race per simulation (reference simulation.py:83-94).
@@ -127,7 +125,7 @@ def simulate_races_state(
     cars = init_cars(params, start_pos)
     # Padding slots beyond the real entry list are retired before the start
     # so they classify last and never interact with live cars.
-    cars = dataclasses.replace(cars, dnf=cars.dnf | ~params.active[:, None])
+    cars = dataclasses.replace(cars, dnf=cars.dnf | ~params.active[None, :])
     cars, rank0 = simulate_lap_1(params, cars, start_pos, key)
 
     drs_until0 = jnp.zeros((n_sims,), jnp.int32)
@@ -172,20 +170,14 @@ def simulate_races(
     race_laps: jax.Array | None = None,
     rng_impl: str | None = None,
 ) -> jax.Array:
-    """Simulate `n_sims` races; return (D, n_sims) 1-indexed finish positions."""
+    """Simulate `n_sims` races; return (n_sims, D) 1-indexed finish positions."""
     return simulate_races_state(params, key, n_sims, total_laps, race_laps, rng_impl)[0]
 
 
 def _histogram(positions: jax.Array, d: int) -> jax.Array:
-    """(D, S) 1-indexed positions -> (D, D) int32 counts[driver, position-1].
-
-    One (D, S) compare + lane reduction per position (the fused kernel's
-    histogram form) — no (D, S, D) one-hot materialization."""
-    cols = [
-        jnp.sum(positions == p, axis=-1, dtype=jnp.int32)
-        for p in range(1, d + 1)
-    ]
-    return jnp.stack(cols, axis=-1)
+    """(S, D) 1-indexed positions -> (D, D) int32 counts[driver, position-1]."""
+    onehot = positions[..., None] == jnp.arange(1, d + 1, dtype=positions.dtype)
+    return jnp.sum(onehot, axis=0, dtype=jnp.int32)
 
 
 @functools.partial(

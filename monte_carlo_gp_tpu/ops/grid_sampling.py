@@ -39,8 +39,7 @@ def sample_grid(
         receive position D-1 ... (they simply keep sentinel D).
 
     Returns:
-      (D, n_sims) int32 (DRIVER-MAJOR — sims on the lane axis, see
-      ops/ranking.py): 0-indexed starting position of each driver.
+      (n_sims, D) int32: 0-indexed starting position of each driver.
       Inactive drivers get position D (out of range sentinel).
     """
     d = grid_probs.shape[0]
@@ -52,23 +51,23 @@ def sample_grid(
     log_probs = jnp.where(safe > 0, jnp.log(jnp.maximum(safe, 1e-38)), NEG_INF)
 
     def step(carry, pos):
-        remaining, start_pos = carry  # (D, S) bool, (D, S) int32
+        remaining, start_pos = carry  # (S, D) bool, (S, D) int32
         col = log_probs[:, pos]  # (D,)
-        masked = jnp.where(remaining, col[:, None], NEG_INF)  # (D, S)
+        masked = jnp.where(remaining, col[None, :], NEG_INF)  # (S, D)
         # Uniform fallback when every remaining driver has zero probability
         # in this column (reference simulation.py:125-130).
-        col_empty = jnp.max(masked, axis=0, keepdims=True) <= NEG_INF / 2
+        col_empty = jnp.max(masked, axis=-1, keepdims=True) <= NEG_INF / 2
         logits = jnp.where(col_empty & remaining, 0.0, masked)
-        g = jax.random.gumbel(jax.random.fold_in(key, pos), (d, n_sims), jnp.float32)
-        winner = jnp.argmax(logits + g, axis=0)  # (S,)
-        any_remaining = jnp.any(remaining, axis=0)
-        onehot = (jnp.arange(d)[:, None] == winner[None, :]) & any_remaining[None, :]
+        g = jax.random.gumbel(jax.random.fold_in(key, pos), (n_sims, d), jnp.float32)
+        winner = jnp.argmax(logits + g, axis=-1)  # (S,)
+        any_remaining = jnp.any(remaining, axis=-1)
+        onehot = (jnp.arange(d)[None, :] == winner[:, None]) & any_remaining[:, None]
         start_pos = jnp.where(onehot, pos, start_pos)
         remaining = remaining & ~onehot
         return (remaining, start_pos), None
 
-    remaining0 = jnp.broadcast_to(active[:, None], (d, n_sims))
-    start0 = jnp.full((d, n_sims), d, jnp.int32)
+    remaining0 = jnp.broadcast_to(active[None, :], (n_sims, d))
+    start0 = jnp.full((n_sims, d), d, jnp.int32)
     (_, start_pos), _ = jax.lax.scan(
         step, (remaining0, start0), jnp.arange(d, dtype=jnp.int32)
     )

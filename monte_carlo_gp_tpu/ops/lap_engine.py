@@ -4,8 +4,7 @@ This reimplements the behavioral contract of the reference's
 `RaceSimulator.simulate_race` (reference simulation.py:147-560) as pure,
 batched array transformations:
 
-  * car state is a struct-of-arrays pytree of shape (D, n_sims) —
-    DRIVER-MAJOR, sims on the TPU lane axis (see the Cars docstring),
+  * car state is a struct-of-arrays pytree of shape (n_sims, D),
   * every `if`/`for` in the reference becomes a masked `where`,
   * every `sorted()` becomes a rank computation (ops/ranking.py),
   * every `random.random()` becomes a batched threefry draw (ops/rng.py).
@@ -47,7 +46,7 @@ from monte_carlo_gp_tpu.ops.ranking import (
     gather_at_rank,
     rank_by,
     rank_by_unique,
-    scatter_by_rank_multi,
+    scatter_by_rank,
     value_of_car_ahead,
 )
 
@@ -69,15 +68,8 @@ DRS_WINDOW = 1.0  # seconds to car ahead (simulation.py:558)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Cars:
-    """Batched car state, all arrays (D, n_sims) — DRIVER-MAJOR, the same
-    layout as the fused Pallas kernel: the huge simulation batch rides the
-    TPU's 128-lane axis at full utilization, and only the small driver axis
-    pads to the 8-sublane granule (an (n_sims, D) layout at D≈20 would pad
-    the lane axis 20 -> 128, wasting ~84% of every vector op and 6.4x the
-    HBM traffic — ops/ranking.py module docstring). Mirrors the reference's
-    `CarState` dataclass (simulation.py:9-34) as a struct of arrays.
-    Per-simulation scalars (drs_until, pass gates) are (n_sims,) and
-    broadcast with [None, :]."""
+    """Batched car state, all arrays (n_sims, D). Mirrors the reference's
+    `CarState` dataclass (simulation.py:9-34) as a struct of arrays."""
 
     cum_time: jax.Array      # f32 cumulative race time
     last_lap: jax.Array      # f32 previous lap time (dirty-air input)
@@ -154,19 +146,19 @@ def _clean_lap_time(params: SimParams, cars: Cars, noise: jax.Array) -> jax.Arra
     """
     driver_factor = jnp.where(
         params.tire_deg > 0, params.tire_deg / 0.05, 1.0
-    )[:, None]
+    )[None, :]
     eff_deg = params.compound_deg[cars.compound] * driver_factor
     tire_effect = cars.tire_age.astype(jnp.float32) * eff_deg
     fuel_effect = (FUEL_START - cars.fuel) * FUEL_PACE_GAIN
     compound_delta = params.compound_pace[cars.compound]
     drs_gain = jnp.where(cars.drs, params.drs_delta, 0.0)
     return (
-        params.base_pace[:, None]
+        params.base_pace[None, :]
         + tire_effect
         - fuel_effect
         + compound_delta
         - drs_gain
-        + params.variance[:, None] * noise
+        + params.variance[None, :] * noise
     )
 
 
@@ -189,7 +181,7 @@ def _update_positions(
     gap_ahead = cars.cum_time - value_of_car_ahead(cars.cum_time, rank, fill=0.0)
     drs_ok = (
         (lap > 2)
-        & ~drs_disabled[None, :]
+        & ~drs_disabled[..., None]
         & (rank > 0)
         & (gap_ahead < DRS_WINDOW)
         & ~cars.dnf
@@ -203,13 +195,13 @@ def simulate_lap_1(
     """Lap 1: 4x team-rate DNF risk, start-position-dependent position
     variance, no DRS (reference `_simulate_lap_1`, simulation.py:275-311).
 
-    `start_pos` is the (D, n_sims) 0-indexed grid slot from grid sampling —
+    `start_pos` is the (n_sims, D) 0-indexed grid slot from grid sampling —
     a lap-1-only input, not part of the carried state."""
     shape = cars.cum_time.shape
     u_dnf = jax.random.uniform(rng.lap_stream(key, 1, rng.STREAM_DNF), shape)
     # Respect pre-retired cars (padding slots beyond the real entry list).
     lap1_dnf = ~cars.dnf & (
-        u_dnf < params.team_dnf_rate[:, None] * LAP_1_DNF_MULTIPLIER
+        u_dnf < params.team_dnf_rate[None, :] * LAP_1_DNF_MULTIPLIER
     )
 
     noise = jax.random.normal(rng.lap_stream(key, 1, rng.STREAM_LAP_NOISE), shape)
@@ -235,7 +227,7 @@ def simulate_lap_1(
         # lap 1 (simulation.py:298-305), so lap 2 never sees dirty air.
     )
     return _update_positions(
-        params, cars, jnp.int32(1), jnp.ones((shape[-1],), bool)
+        params, cars, jnp.int32(1), jnp.ones(shape[:-1], bool)
     )  # -> (cars, rank)
 
 
@@ -254,20 +246,20 @@ def lap_step(
     since cum/dnf are untouched in between); recomputed when absent. Returns
     (cars, drs_until, rank-after-this-lap)."""
     shape = cars.cum_time.shape
-    s = (shape[-1],)  # per-sim shape
+    s = shape[:-1]
 
     # --- 1. Race control events (red -> SC -> VSC priority chain) ----------
-    u = jax.random.uniform(rng.lap_stream(key, lap, rng.STREAM_RACE_CONTROL), (3,) + s)
-    is_red = u[0] < params.red_flag_prob
-    is_sc = ~is_red & (u[1] < params.sc_prob)
-    is_vsc = ~is_red & ~is_sc & (u[2] < params.vsc_prob)
+    u = jax.random.uniform(rng.lap_stream(key, lap, rng.STREAM_RACE_CONTROL), s + (3,))
+    is_red = u[..., 0] < params.red_flag_prob
+    is_sc = ~is_red & (u[..., 1] < params.sc_prob)
+    is_vsc = ~is_red & ~is_sc & (u[..., 2] < params.vsc_prob)
 
     rank = prev_rank if prev_rank is not None else _active_rank(cars)
     active = ~cars.dnf
     key_time = jnp.where(cars.dnf, INF_TIME, cars.cum_time)
-    leader_time = jnp.min(key_time, axis=-2, keepdims=True)
+    leader_time = jnp.min(key_time, axis=-1, keepdims=True)
     leader_laps = jnp.sum(
-        jnp.where((rank == 0) & active, cars.laps_done, 0), axis=-2, keepdims=True
+        jnp.where((rank == 0) & active, cars.laps_done, 0), axis=-1, keepdims=True
     )
     rank_f = rank.astype(jnp.float32)
     laps_down = (leader_laps - cars.laps_done).astype(jnp.float32)
@@ -279,15 +271,15 @@ def lap_step(
     vsc_refund = is_vsc & (u_refund < VSC_REFUND_PROB)
     red_time = leader_time + rank_f * RED_FLAG_GAP
 
-    m_red = is_red[None, :] & active
-    m_sc = is_sc[None, :] & active
-    m_vsc = is_vsc[None, :] & active
+    m_red = is_red[..., None] & active
+    m_sc = is_sc[..., None] & active
+    m_vsc = is_vsc[..., None] & active
     any_event = m_red | m_sc | m_vsc
 
     cum_time = jnp.where(
         m_red, red_time, jnp.where(m_sc, sc_time, jnp.where(m_vsc, vsc_time, cars.cum_time))
     )
-    age_refund = m_sc | (vsc_refund[None, :] & active)
+    age_refund = m_sc | (vsc_refund[..., None] & active)
     tire_age = jnp.where(
         m_red, 0, jnp.where(age_refund, jnp.maximum(0, cars.tire_age - 1), cars.tire_age)
     )
@@ -325,7 +317,7 @@ def lap_step(
 
     # --- 3. Per-car DNF draw + lap time (simulation.py:186-228) ------------
     u_dnf = jax.random.uniform(rng.lap_stream(key, lap, rng.STREAM_DNF), shape)
-    new_dnf = active & (u_dnf < params.dnf_rate[:, None])
+    new_dnf = active & (u_dnf < params.dnf_rate[None, :])
     alive = active & ~new_dnf
 
     noise = jax.random.normal(rng.lap_stream(key, lap, rng.STREAM_LAP_NOISE), shape)
@@ -376,7 +368,7 @@ def _pit_stops(params: SimParams, cars: Cars, remaining: jax.Array) -> Cars:
     more than 5 laps remain; enforce the mandatory two-dry-compound rule
     (reference `_handle_pit_stops`, simulation.py:433-494)."""
     opt = params.compound_optimal[cars.compound].astype(jnp.float32)
-    deg = params.tire_deg[:, None]
+    deg = params.tire_deg[None, :]
     # int() truncation in the reference == floor for positive values.
     opt_adj = jnp.where(
         deg > 0.05,
@@ -431,55 +423,47 @@ def _overtakes(params: SimParams, cars: Cars, key: jax.Array) -> Cars:
     chain with a short unrolled recurrence over positions. The reference
     stops early when a pass produces no overtake — replicated per-simulation
     with a gating flag so later passes consume no effective randomness.
-
-    DNF'd cars carry NaN pace, so any pair involving one is ineligible
-    (NaN comparisons are False) — the boolean dnf/drs payloads the position
-    mapping used to carry are folded into the two pace arrays, and the
-    remaining three arrays share one relational mask chain
-    (scatter_by_rank_multi). `att` = pace net of the attacker's DRS bonus,
-    computed in driver space, so delta = ahead_pace - att equals the
-    reference's pace_ahead - pace + drs_bonus up to FP association (ULPs at
-    the eligibility boundary; mirrors the fused kernel exactly).
     """
-    d = cars.cum_time.shape[-2]
-    pace = jnp.where(
-        cars.dnf,
-        jnp.float32(np.nan),
-        params.base_pace[:, None]
-        + cars.tire_age.astype(jnp.float32) * params.tire_deg[:, None],
-    )
-    att = pace - jnp.where(cars.drs, params.drs_delta, 0.0)
+    d = cars.cum_time.shape[-1]
+    pace = params.base_pace[None, :] + cars.tire_age.astype(jnp.float32) * params.tire_deg[None, :]
 
-    pass_active = jnp.ones((cars.cum_time.shape[-1],), bool)
+    pass_active = jnp.ones(cars.cum_time.shape[:-1], bool)
     cum = cars.cum_time
     for p in range(OVERTAKE_PASSES):
         # Reference sorts ALL cars (including DNF) by cumulative time.
         rank = rank_by_unique(cum)
-        cum_pos, pace_pos, att_pos = scatter_by_rank_multi(
-            (cum, pace, att), rank
-        )
+        cum_pos = scatter_by_rank(cum, rank)
+        pace_pos = scatter_by_rank(pace, rank)
+        dnf_pos = scatter_by_rank(cars.dnf, rank)
+        drs_pos = scatter_by_rank(cars.drs, rank)
 
         # delta = pace_ahead - pace_behind (+ DRS boost for the car behind);
-        # indexed by the BEHIND car's position rows 1..D-1.
-        ahead_pace = jnp.concatenate([pace_pos[:1, :], pace_pos[:-1, :]], axis=0)
-        delta = ahead_pace - att_pos
-        eligible = (jnp.arange(d) > 0)[:, None] & (delta > params.overtake_delta)
+        # indexed by the BEHIND car's position 1..D-1.
+        ahead_pace = jnp.concatenate([pace_pos[..., :1], pace_pos[..., :-1]], axis=-1)
+        ahead_dnf = jnp.concatenate([dnf_pos[..., :1], dnf_pos[..., :-1]], axis=-1)
+        delta = ahead_pace - pace_pos + jnp.where(drs_pos, params.drs_delta, 0.0)
+        eligible = (
+            (jnp.arange(d) > 0)[None, :]
+            & ~dnf_pos
+            & ~ahead_dnf
+            & (delta > params.overtake_delta)
+        )
         prob = jnp.minimum(0.5, delta / 2.0)
         u = jax.random.uniform(rng.subkey(key, p), cum_pos.shape)
-        swap = eligible & (u < prob) & pass_active[None, :]
+        swap = eligible & (u < prob) & pass_active[..., None]
 
         # Sequential time-rewrite chain (exact reference semantics given the
         # same decisions): new_behind = max(0.1, current_ahead - 0.1);
         # ahead becomes new_behind + 0.3. Unrolled over the D-1 pairs.
-        rows = [cum_pos[i] for i in range(d)]
+        cols = [cum_pos[..., i] for i in range(d)]
         for i in range(1, d):
-            sw = swap[i]
-            nb = jnp.maximum(0.1, rows[i - 1] - 0.1)
-            rows[i - 1] = jnp.where(sw, nb + OVERTAKE_RESET_GAP, rows[i - 1])
-            rows[i] = jnp.where(sw, nb, rows[i])
-        cum_pos = jnp.stack(rows, axis=0)
+            sw = swap[..., i]
+            nb = jnp.maximum(0.1, cols[i - 1] - 0.1)
+            cols[i - 1] = jnp.where(sw, nb + OVERTAKE_RESET_GAP, cols[i - 1])
+            cols[i] = jnp.where(sw, nb, cols[i])
+        cum_pos = jnp.stack(cols, axis=-1)
         cum = gather_at_rank(cum_pos, rank)
-        pass_active = pass_active & jnp.any(swap, axis=0)
+        pass_active = pass_active & jnp.any(swap, axis=-1)
 
     return dataclasses.replace(cars, cum_time=cum)
 
@@ -491,26 +475,20 @@ def classify(cars: Cars) -> jax.Array:
     (value, index)-lexicographic rank rather than the 4-ULP-quantized
     fast path used per lap."""
     active_rank = rank_by(jnp.where(cars.dnf, INF_TIME, cars.cum_time))
-    n_active = jnp.sum(~cars.dnf, axis=-2, keepdims=True)
+    n_active = jnp.sum(~cars.dnf, axis=-1, keepdims=True)
 
-    # DNF rank: descending lexicographic (lap, cum_time), stable — an
-    # unrolled relational loop over drivers (driver-major, like the fused
-    # kernel's classification) so nothing materializes a (D, D, S) tensor.
-    d = cars.cum_time.shape[-2]
-    row_iota = jnp.arange(d, dtype=jnp.int32)[:, None]
-    dnf_rank = jnp.zeros(cars.cum_time.shape, jnp.int32)
-    for j in range(d):
-        lap_j = cars.dnf_lap[..., j : j + 1, :]
-        cum_j = cars.cum_time[..., j : j + 1, :]
-        greater = (lap_j > cars.dnf_lap) | (
-            (lap_j == cars.dnf_lap)
-            & (
-                (cum_j > cars.cum_time)
-                | ((cum_j == cars.cum_time) & (j < row_iota))
-            )
-        )
-        dnf_rank += (
-            greater & cars.dnf[..., j : j + 1, :] & cars.dnf
-        ).astype(jnp.int32)
+    # DNF rank: descending lexicographic (lap, cum_time), stable.
+    lap_i = cars.dnf_lap[..., :, None]
+    lap_j = cars.dnf_lap[..., None, :]
+    cum_i = cars.cum_time[..., :, None]
+    cum_j = cars.cum_time[..., None, :]
+    d = cars.cum_time.shape[-1]
+    idx = jnp.arange(d, dtype=jnp.int32)
+    greater = (lap_j > lap_i) | (
+        (lap_j == lap_i)
+        & ((cum_j > cum_i) | ((cum_j == cum_i) & (idx[None, :] < idx[:, None])))
+    )
+    both_dnf = cars.dnf[..., :, None] & cars.dnf[..., None, :]
+    dnf_rank = jnp.sum(greater & both_dnf, axis=-1, dtype=jnp.int32)
 
     return jnp.where(cars.dnf, n_active + dnf_rank, active_rank) + 1

@@ -2,7 +2,7 @@
 
 All stochastic draws in the engine come from a single base key, fanned out by
 (lap, stream) with `fold_in`. Because `jax_threefry_partitionable` is enabled
-(package __init__), full-shape draws like `normal(key, (D, S))` produce the
+(package __init__), full-shape draws like `normal(key, (S, D))` produce the
 same global values under any device sharding — this is the bitwise
 reproducibility contract from BASELINE.md.
 

@@ -2,7 +2,7 @@
 
 Scaling model ("How to Scale Your Model" recipe): pick a mesh, annotate the
 batch axis sharding, let XLA insert collectives. The simulation batch is
-embarrassingly parallel — GSPMD partitions every (D, n_sims) driver-major array over the
+embarrassingly parallel — GSPMD partitions every (n_sims, D) array over the
 'sims' axis; the single collective is the psum of the (D, D) histogram.
 Counter-based partitionable threefry makes the result bitwise identical to
 the single-device run (tests/test_determinism.py, tests/test_sharding.py).
@@ -55,20 +55,13 @@ def _sharded_probs(
     mesh: Mesh,
     sims_axis: str,
 ) -> jax.Array:
-    positions = simulate_races(params, key, n_sims, total_laps)  # (D, S)
+    positions = simulate_races(params, key, n_sims, total_laps)
     positions = jax.lax.with_sharding_constraint(
-        positions, NamedSharding(mesh, P(None, sims_axis))
+        positions, NamedSharding(mesh, P(sims_axis, None))
     )
     d = params.n_drivers
-    # (D,) lane reduction per finish position; the sum over the sharded
-    # sims axis is what GSPMD turns into the psum.
-    counts = jnp.stack(
-        [
-            jnp.sum(positions == p, axis=-1, dtype=jnp.int32)
-            for p in range(1, d + 1)
-        ],
-        axis=-1,
-    )
+    onehot = positions[..., None] == jnp.arange(1, d + 1, dtype=positions.dtype)
+    counts = jnp.sum(onehot, axis=0, dtype=jnp.int32)  # GSPMD -> psum over sims
     return counts.astype(jnp.float32) / n_sims
 
 

@@ -56,14 +56,12 @@ def stack_params(params_list: list[SimParams]) -> tuple[SimParams, int]:
     return stacked, d_max
 
 
-# Measured note (one v5e, PRE driver-major flip): the race-vmap cost ~5x
-# per sim vs the flat engine (5.9s vs 1.1s for 200k sims x 78 masked laps)
-# — XLA laid out the batched sims-major intermediates less favorably. The
-# (D, S) flip changes the batched shapes to (R, D, S); re-measure on
-# hardware (queued). Tolerable either way: this path exists for multi-chip
-# scale-out and its warm device time is a small fraction of the
-# walk-forward host prep; the fused Pallas kernel is the single-host
-# flagship.
+# Measured note (one v5e): the race-vmap costs ~5x per sim vs the flat
+# engine (5.9s vs 1.1s for 200k sims x 78 masked laps) — XLA lays out the
+# batched (R, S, D[, D]) intermediates less favorably. Tolerable: this path
+# exists for multi-chip scale-out and its warm device time is a small
+# fraction of the walk-forward host prep; the fused Pallas kernel is the
+# single-host flagship.
 @functools.partial(
     jax.jit,
     static_argnames=("n_sims", "max_laps", "mesh", "race_axis", "sims_axis"),
@@ -82,20 +80,13 @@ def _season_probs(
         positions = simulate_races(params, key, n_sims, max_laps, race_laps=laps)
         return positions
 
-    positions = jax.vmap(one_race)(stacked, race_laps, keys)  # (R, D, S)
+    positions = jax.vmap(one_race)(stacked, race_laps, keys)  # (R, S, D)
     positions = jax.lax.with_sharding_constraint(
-        positions, NamedSharding(mesh, P(race_axis, None, sims_axis))
+        positions, NamedSharding(mesh, P(race_axis, sims_axis, None))
     )
-    d = positions.shape[-2]
-    # (R, D) lane reduction per finish position (no (R, D, S, D) one-hot);
-    # the sum over the sharded sims axis becomes the psum.
-    counts = jnp.stack(
-        [
-            jnp.sum(positions == p, axis=-1, dtype=jnp.int32)
-            for p in range(1, d + 1)
-        ],
-        axis=-1,
-    )
+    d = positions.shape[-1]
+    onehot = positions[..., None] == jnp.arange(1, d + 1, dtype=positions.dtype)
+    counts = jnp.sum(onehot, axis=1, dtype=jnp.int32)  # psum over sims shards
     return counts.astype(jnp.float32) / n_sims
 
 

@@ -68,18 +68,18 @@ def test_sharding_invariance(std_setup):
 
     devices = np.array(jax.devices()[:8]).reshape(8)
     mesh = Mesh(devices, ("sims",))
-    # Shard every (D, S) driver-major intermediate over sims by sharding
-    # the key-derived computation: jit with an output sharding constraint
-    # on the lane (sims) axis.
+    # Shard every (S, D) intermediate over sims by sharding the key-derived
+    # computation: jit with output sharding constraint on the batch axis.
     @jax.jit
     def sharded_run(params, key):
-        from monte_carlo_gp_tpu.ops.engine import _histogram, simulate_races
+        from monte_carlo_gp_tpu.ops.engine import simulate_races
 
         pos = simulate_races(params, key, n, 20)
         pos = jax.lax.with_sharding_constraint(
-            pos, NamedSharding(mesh, P(None, "sims"))
+            pos, NamedSharding(mesh, P("sims", None))
         )
-        return _histogram(pos, params.n_drivers).astype(jnp.float32) / n
+        onehot = pos[..., None] == jnp.arange(1, params.n_drivers + 1)
+        return jnp.sum(onehot, axis=0, dtype=jnp.int32).astype(jnp.float32) / n
 
     with jax.set_mesh(mesh):
         sharded = np.asarray(sharded_run(params, key))

@@ -1,6 +1,5 @@
 """Grid sampler: without-replacement categorical semantics
-(reference simulation.py:102-145). sample_grid returns DRIVER-MAJOR (D, S);
-tests transpose to the (S, D) view the assertions are written in."""
+(reference simulation.py:102-145)."""
 
 import jax
 import jax.numpy as jnp
@@ -10,14 +9,10 @@ from scipy import stats
 from monte_carlo_gp_tpu.ops.grid_sampling import sample_grid
 
 
-def _t(x):
-    return np.asarray(x).T  # (D, S) -> (S, D) test view
-
-
 def test_grids_are_permutations():
     d = 20
     gp = np.random.default_rng(0).random((d, d)).astype(np.float32)
-    pos = _t(sample_grid(jax.random.PRNGKey(1), jnp.asarray(gp), 256))
+    pos = np.asarray(sample_grid(jax.random.PRNGKey(1), jnp.asarray(gp), 256))
     assert pos.shape == (256, d)
     for row in pos:
         assert sorted(row) == list(range(d))
@@ -29,7 +24,7 @@ def test_deterministic_grid():
     perm = np.array([3, 1, 0, 2, 7, 6, 5, 4])
     gp = np.zeros((d, d), np.float32)
     gp[np.arange(d), perm] = 1.0
-    pos = _t(sample_grid(jax.random.PRNGKey(0), jnp.asarray(gp), 32))
+    pos = np.asarray(sample_grid(jax.random.PRNGKey(0), jnp.asarray(gp), 32))
     np.testing.assert_array_equal(pos, np.tile(perm, (32, 1)))
 
 
@@ -40,7 +35,7 @@ def test_first_slot_marginal_matches_probs():
     gp = np.tile(col0[:, None] * 0 + 1.0 / d, (1, d)).astype(np.float32)
     gp[:, 0] = col0
     n = 20000
-    pos = _t(sample_grid(jax.random.PRNGKey(2), jnp.asarray(gp), n))
+    pos = np.asarray(sample_grid(jax.random.PRNGKey(2), jnp.asarray(gp), n))
     winners = np.argmin(pos, axis=1)  # driver with position 0
     counts = np.bincount(winners, minlength=d)
     chi2 = stats.chisquare(counts, col0 * n)
@@ -54,7 +49,7 @@ def test_uniform_fallback_on_zero_column():
     gp = np.zeros((d, d), np.float32)
     gp[0, 0] = 1.0  # driver 0 always on pole; all later columns are zero
     n = 8000
-    pos = _t(sample_grid(jax.random.PRNGKey(3), jnp.asarray(gp), n))
+    pos = np.asarray(sample_grid(jax.random.PRNGKey(3), jnp.asarray(gp), n))
     assert (pos[:, 0] == 0).all()
     # slots 1..3 should be uniform over drivers 1..3
     for slot in range(1, d):
@@ -72,7 +67,7 @@ def test_without_replacement_renormalization():
         [[0.7, 0.5, 0.0], [0.3, 0.5, 0.0], [0.0, 0.0, 1.0]], np.float32
     )
     n = 20000
-    pos = _t(sample_grid(jax.random.PRNGKey(4), jnp.asarray(gp), n))
+    pos = np.asarray(sample_grid(jax.random.PRNGKey(4), jnp.asarray(gp), n))
     assert (pos[:, 2] == 2).all()
     p0_driver0 = (pos[:, 0] == 0).mean()
     assert abs(p0_driver0 - 0.7) < 0.02

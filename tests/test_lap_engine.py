@@ -46,8 +46,8 @@ def quiet_params(d=4, **overrides):
 def fresh_cars(params, gaps, **overrides):
     """One-sim Cars state: car i starts grid slot i with cum_time gaps[i]."""
     d = len(gaps)
-    cars = init_cars(params, jnp.arange(d, dtype=jnp.int32)[:, None])
-    cum = jnp.asarray(gaps, jnp.float32)[:, None]
+    cars = init_cars(params, jnp.arange(d, dtype=jnp.int32)[None, :])
+    cum = jnp.asarray([gaps], jnp.float32)
     cars = dataclasses.replace(
         cars, cum_time=cum, laps_done=jnp.ones_like(cars.laps_done),
     )
@@ -64,7 +64,7 @@ def _jit_step(params, total_laps, cars, d0, lap):
 
 
 def step(params, cars, lap=10, total_laps=57, drs_until=0):
-    d0 = jnp.full(cars.cum_time.shape[-1:], drs_until, jnp.int32)
+    d0 = jnp.full(cars.cum_time.shape[:-1], drs_until, jnp.int32)
     return _jit_step(params, total_laps, cars, d0, jnp.int32(lap))
 
 
@@ -75,23 +75,23 @@ def step(params, cars, lap=10, total_laps=57, drs_until=0):
 
 def test_init_dry_tires():
     params = quiet_params(d=12)
-    cars = init_cars(params, jnp.arange(12)[:, None])
-    comp = np.asarray(cars.compound)[:, 0]
-    age = np.asarray(cars.tire_age)[:, 0]
+    cars = init_cars(params, jnp.arange(12)[None, :])
+    comp = np.asarray(cars.compound)[0]
+    age = np.asarray(cars.tire_age)[0]
     assert (comp[:10] == cfg.SOFT).all() and (comp[10:] == cfg.MEDIUM).all()
     assert (age[:10] == 4).all() and (age[10:] == 0).all()
-    assert (np.asarray(cars.fuel)[:, 0] == 110.0).all()
+    assert (np.asarray(cars.fuel)[0] == 110.0).all()
     np.testing.assert_array_equal(
-        np.asarray(cars.used_mask)[:, 0], 1 << comp
+        np.asarray(cars.used_mask)[0], 1 << comp
     )
 
 
 def test_init_wet_and_damp_tires():
     for cond, comp_expected in (("wet", cfg.WET), ("damp", cfg.INTERMEDIATE)):
         params = quiet_params(d=12, track_condition=cond)
-        cars = init_cars(params, jnp.arange(12)[:, None])
-        assert (np.asarray(cars.compound)[:, 0] == comp_expected).all()
-        assert (np.asarray(cars.tire_age)[:, 0] == 0).all()
+        cars = init_cars(params, jnp.arange(12)[None, :])
+        assert (np.asarray(cars.compound)[0] == comp_expected).all()
+        assert (np.asarray(cars.tire_age)[0] == 0).all()
 
 
 # ---------------------------------------------------------------------------
@@ -104,13 +104,13 @@ def test_lap_time_formula_exact():
     cars = fresh_cars(params, [0.0, 10.0, 20.0, 30.0])
     cars = dataclasses.replace(
         cars,
-        tire_age=jnp.asarray([[3, 5, 2, 0]], jnp.int32).T,
-        fuel=jnp.asarray([[110.0, 100.0, 95.0, 110.0]], jnp.float32).T,
-        compound=jnp.asarray([[cfg.SOFT, cfg.MEDIUM, cfg.HARD, cfg.WET]], jnp.int32).T,
+        tire_age=jnp.asarray([[3, 5, 2, 0]], jnp.int32),
+        fuel=jnp.asarray([[110.0, 100.0, 95.0, 110.0]], jnp.float32),
+        compound=jnp.asarray([[cfg.SOFT, cfg.MEDIUM, cfg.HARD, cfg.WET]], jnp.int32),
     )
-    before = np.asarray(cars.cum_time)[:, 0].copy()
+    before = np.asarray(cars.cum_time)[0].copy()
     out, _ = step(params, cars)
-    lap_times = np.asarray(out.cum_time)[:, 0] - before
+    lap_times = np.asarray(out.cum_time)[0] - before
     # base + age * comp_deg * (deg/0.05 or 1.0) - burned*0.03 + comp_pace
     expected = np.array([
         90.0 + 3 * 0.08 * 1.0 - 0.0 + (-0.8),
@@ -119,21 +119,21 @@ def test_lap_time_formula_exact():
         90.0 + 0 - 0.0 + 10.0,
     ])
     np.testing.assert_allclose(lap_times, expected, rtol=1e-5)
-    np.testing.assert_array_equal(np.asarray(out.tire_age)[:, 0], [4, 6, 3, 1])
+    np.testing.assert_array_equal(np.asarray(out.tire_age)[0], [4, 6, 3, 1])
     np.testing.assert_allclose(
-        np.asarray(out.fuel)[:, 0], [108.5, 98.5, 93.5, 108.5], rtol=1e-6
+        np.asarray(out.fuel)[0], [108.5, 98.5, 93.5, 108.5], rtol=1e-6
     )
-    np.testing.assert_array_equal(np.asarray(out.laps_done)[:, 0], [2, 2, 2, 2])
+    np.testing.assert_array_equal(np.asarray(out.laps_done)[0], [2, 2, 2, 2])
 
 
 def test_drs_gain_applied():
     params = quiet_params(d=2)
     base = fresh_cars(params, [0.0, 30.0])
-    with_drs = dataclasses.replace(base, drs=jnp.asarray([[False, True]]).T)
+    with_drs = dataclasses.replace(base, drs=jnp.asarray([[False, True]]))
     out0, _ = step(params, base)
     out1, _ = step(params, with_drs)
-    lt0 = np.asarray(out0.cum_time - base.cum_time)[:, 0]
-    lt1 = np.asarray(out1.cum_time - with_drs.cum_time)[:, 0]
+    lt0 = np.asarray(out0.cum_time - base.cum_time)[0]
+    lt1 = np.asarray(out1.cum_time - with_drs.cum_time)[0]
     assert abs(lt0[1] - lt1[1] - 0.3) < 1e-5  # DRS car gains drs_delta
     assert abs(lt0[0] - lt1[0]) < 1e-6
 
@@ -147,10 +147,10 @@ def test_dirty_air_clamps_to_car_ahead():
     params = quiet_params(d=2, dirty_air_threshold=2.0)
     cars = fresh_cars(params, [0.0, 1.0])
     cars = dataclasses.replace(
-        cars, last_lap=jnp.asarray([[95.0, 90.0]], jnp.float32).T
+        cars, last_lap=jnp.asarray([[95.0, 90.0]], jnp.float32)
     )
     out, _ = step(params, cars)
-    lap_times = np.asarray(out.cum_time - cars.cum_time)[:, 0]
+    lap_times = np.asarray(out.cum_time - cars.cum_time)[0]
     # car 1: clean=89.52 (SOFT delta, 4-lap-old tires) +0.5 < 95 -> held to 95
     assert abs(lap_times[1] - 95.0) < 1e-5
     assert abs(lap_times[0] - 89.52) < 1e-4  # leader unaffected
@@ -160,10 +160,10 @@ def test_dirty_air_penalty_when_ahead_is_slower_history():
     params = quiet_params(d=2, dirty_air_threshold=2.0)
     cars = fresh_cars(params, [0.0, 1.0])
     cars = dataclasses.replace(
-        cars, last_lap=jnp.asarray([[10.0, 90.0]], jnp.float32).T
+        cars, last_lap=jnp.asarray([[10.0, 90.0]], jnp.float32)
     )
     out, _ = step(params, cars)
-    lap_times = np.asarray(out.cum_time - cars.cum_time)[:, 0]
+    lap_times = np.asarray(out.cum_time - cars.cum_time)[0]
     # max(clean + 0.5, 10.0) = clean + 0.5
     assert abs(lap_times[1] - (89.52 + 0.5)) < 1e-4
 
@@ -172,13 +172,13 @@ def test_no_dirty_air_outside_threshold_or_without_history():
     params = quiet_params(d=2, dirty_air_threshold=2.0)
     # gap 5s > threshold
     far = fresh_cars(params, [0.0, 5.0])
-    far = dataclasses.replace(far, last_lap=jnp.asarray([[95.0, 90.0]], jnp.float32).T)
+    far = dataclasses.replace(far, last_lap=jnp.asarray([[95.0, 90.0]], jnp.float32))
     out, _ = step(params, far)
-    assert abs(np.asarray(out.cum_time - far.cum_time)[:, 0][1] - 89.52) < 1e-4
+    assert abs(np.asarray(out.cum_time - far.cum_time)[0][1] - 89.52) < 1e-4
     # ahead has no recorded lap (lap-2 semantics: last_lap==0)
     near = fresh_cars(params, [0.0, 1.0])
     out, _ = step(params, near)
-    assert abs(np.asarray(out.cum_time - near.cum_time)[:, 0][1] - 89.52) < 1e-4
+    assert abs(np.asarray(out.cum_time - near.cum_time)[0][1] - 89.52) < 1e-4
 
 
 # ---------------------------------------------------------------------------
@@ -190,10 +190,10 @@ def test_forced_dnf_freezes_car():
     params = quiet_params(d=3, dnf_rate=np.array([0.0, 1.0, 0.0], np.float32))
     cars = fresh_cars(params, [0.0, 1.0, 2.0])
     out, _ = step(params, cars, lap=7)
-    assert np.asarray(out.dnf)[:, 0].tolist() == [False, True, False]
-    assert np.asarray(out.dnf_lap)[:, 0][1] == 7
-    assert np.asarray(out.cum_time)[:, 0][1] == 1.0  # no time added
-    assert np.asarray(out.laps_done)[:, 0][1] == 1
+    assert np.asarray(out.dnf)[0].tolist() == [False, True, False]
+    assert np.asarray(out.dnf_lap)[0][1] == 7
+    assert np.asarray(out.cum_time)[0][1] == 1.0  # no time added
+    assert np.asarray(out.laps_done)[0][1] == 1
 
 
 def test_classification_order():
@@ -201,10 +201,10 @@ def test_classification_order():
     cars = fresh_cars(params, [100.0, 50.0, 75.0, 60.0, 80.0])
     cars = dataclasses.replace(
         cars,
-        dnf=jnp.asarray([[False, True, False, True, True]]).T,
-        dnf_lap=jnp.asarray([[0, 30, 0, 30, 40]], jnp.int32).T,
+        dnf=jnp.asarray([[False, True, False, True, True]]),
+        dnf_lap=jnp.asarray([[0, 30, 0, 30, 40]], jnp.int32),
     )
-    pos = np.asarray(classify(cars))[:, 0]
+    pos = np.asarray(classify(cars))[0]
     # Active by time: car0 (100) ... wait car2=75 < car0=100 -> car2 P1, car0 P2.
     # DNFs by (lap desc, cum desc): car4 (40) P3, then lap-30 tie by cum desc:
     # car3 (60) vs car1 (50) -> car3 P4, car1 P5.
@@ -225,21 +225,21 @@ def test_pit_triggers_and_compound_choice():
     cars = fresh_cars(params, [0.0, 0.0, 0.0])
     cars = dataclasses.replace(
         cars,
-        compound=jnp.asarray([[cfg.SOFT, cfg.SOFT, cfg.SOFT]], jnp.int32).T,
-        used_mask=jnp.asarray([[1 << cfg.SOFT] * 3], jnp.int32).T,
-        tire_age=jnp.asarray([[15, 15, 15]], jnp.int32).T,
+        compound=jnp.asarray([[cfg.SOFT, cfg.SOFT, cfg.SOFT]], jnp.int32),
+        used_mask=jnp.asarray([[1 << cfg.SOFT] * 3], jnp.int32),
+        tire_age=jnp.asarray([[15, 15, 15]], jnp.int32),
     )
     # after this lap: age=16 > optimal 15 -> pit. remaining = 57 - lap.
     out, _ = step(params, cars, lap=20, total_laps=57)  # remaining 37 -> HARD
-    assert (np.asarray(out.pit_stops)[:, 0] == 1).all()
-    assert (np.asarray(out.compound)[:, 0] == cfg.HARD).all()
-    assert (np.asarray(out.tire_age)[:, 0] == 0).all()
+    assert (np.asarray(out.pit_stops)[0] == 1).all()
+    assert (np.asarray(out.compound)[0] == cfg.HARD).all()
+    assert (np.asarray(out.tire_age)[0] == 0).all()
     out2, _ = step(params, cars, lap=30, total_laps=57)  # remaining 27 -> MEDIUM
-    assert (np.asarray(out2.compound)[:, 0] == cfg.MEDIUM).all()
+    assert (np.asarray(out2.compound)[0] == cfg.MEDIUM).all()
     out3, _ = step(params, cars, lap=45, total_laps=57)  # remaining 12 -> SOFT
     # two-compound rule: SOFT already used and is the only dry compound ->
     # must switch; remaining <= 20 and SOFT unavailable -> MEDIUM
-    assert (np.asarray(out3.compound)[:, 0] == cfg.MEDIUM).all()
+    assert (np.asarray(out3.compound)[0] == cfg.MEDIUM).all()
 
 
 def test_pit_deg_adjusted_optimal():
@@ -248,13 +248,13 @@ def test_pit_deg_adjusted_optimal():
     cars = fresh_cars(params, [0.0, 0.0, 0.0])
     cars = dataclasses.replace(
         cars,
-        compound=jnp.asarray([[cfg.MEDIUM] * 3], jnp.int32).T,
-        used_mask=jnp.asarray([[1 << cfg.MEDIUM] * 3], jnp.int32).T,
-        tire_age=jnp.asarray([[21, 21, 21]], jnp.int32).T,
+        compound=jnp.asarray([[cfg.MEDIUM] * 3], jnp.int32),
+        used_mask=jnp.asarray([[1 << cfg.MEDIUM] * 3], jnp.int32),
+        tire_age=jnp.asarray([[21, 21, 21]], jnp.int32),
     )
     # after lap: age 22. thresholds: int(25*0.85)=21 -> pit; 25 -> no; int(27.5)=27 -> no
     out, _ = step(params, cars, lap=20)
-    np.testing.assert_array_equal(np.asarray(out.pit_stops)[:, 0], [1, 0, 0])
+    np.testing.assert_array_equal(np.asarray(out.pit_stops)[0], [1, 0, 0])
 
 
 def test_no_pit_when_few_laps_remain():
@@ -262,11 +262,11 @@ def test_no_pit_when_few_laps_remain():
     cars = fresh_cars(params, [0.0])
     cars = dataclasses.replace(
         cars,
-        compound=jnp.asarray([[cfg.SOFT]], jnp.int32).T,
-        tire_age=jnp.asarray([[30]], jnp.int32).T,
+        compound=jnp.asarray([[cfg.SOFT]], jnp.int32),
+        tire_age=jnp.asarray([[30]], jnp.int32),
     )
     out, _ = step(params, cars, lap=53, total_laps=57)  # remaining 4 <= 5
-    assert np.asarray(out.pit_stops)[:, 0][0] == 0
+    assert np.asarray(out.pit_stops)[0][0] == 0
 
 
 def test_two_compound_rule_forces_switch():
@@ -274,15 +274,15 @@ def test_two_compound_rule_forces_switch():
     cars = fresh_cars(params, [0.0])
     cars = dataclasses.replace(
         cars,
-        compound=jnp.asarray([[cfg.MEDIUM]], jnp.int32).T,
-        used_mask=jnp.asarray([[1 << cfg.MEDIUM]], jnp.int32).T,
-        tire_age=jnp.asarray([[26]], jnp.int32).T,
+        compound=jnp.asarray([[cfg.MEDIUM]], jnp.int32),
+        used_mask=jnp.asarray([[1 << cfg.MEDIUM]], jnp.int32),
+        tire_age=jnp.asarray([[26]], jnp.int32),
     )
     # remaining 27 -> natural pick MEDIUM, but only MEDIUM used -> alt.
     # remaining > 20 and MEDIUM unavailable -> HARD.
     out, _ = step(params, cars, lap=30, total_laps=57)
-    assert np.asarray(out.compound)[:, 0][0] == cfg.HARD
-    assert np.asarray(out.used_mask)[:, 0][0] == (1 << cfg.MEDIUM) | (1 << cfg.HARD)
+    assert np.asarray(out.compound)[0][0] == cfg.HARD
+    assert np.asarray(out.used_mask)[0][0] == (1 << cfg.MEDIUM) | (1 << cfg.HARD)
 
 
 # ---------------------------------------------------------------------------
@@ -293,25 +293,25 @@ def test_two_compound_rule_forces_switch():
 def test_safety_car_bunches_field():
     params = quiet_params(d=4, sc_prob=1.0)
     cars = fresh_cars(params, [0.0, 10.0, 20.0, 30.0])
-    age0 = np.asarray(cars.tire_age)[:, 0].copy()
+    age0 = np.asarray(cars.tire_age)[0].copy()
     out, _ = step(params, cars, lap=10)
-    cum = np.asarray(out.cum_time)[:, 0]
+    cum = np.asarray(out.cum_time)[0]
     # bunched to 0.5s/position, then one identical lap added -> exact gaps.
     # (cars are identical: same compound/age/pace; dirty air disabled)
     gaps = cum - cum.min()
     np.testing.assert_allclose(np.sort(gaps), [0.0, 0.5, 1.0, 1.5], atol=1e-5)
     # tire age: -1 refund then +1 for the racing lap -> unchanged
-    np.testing.assert_array_equal(np.asarray(out.tire_age)[:, 0], age0)
+    np.testing.assert_array_equal(np.asarray(out.tire_age)[0], age0)
 
 
 def test_sc_keeps_lapped_cars_lapped():
     params = quiet_params(d=3, sc_prob=1.0)
     cars = fresh_cars(params, [0.0, 10.0, 200.0])
     cars = dataclasses.replace(
-        cars, laps_done=jnp.asarray([[10, 10, 8]], jnp.int32).T
+        cars, laps_done=jnp.asarray([[10, 10, 8]], jnp.int32)
     )
     out, _ = step(params, cars, lap=12)
-    cum = np.asarray(out.cum_time)[:, 0]
+    cum = np.asarray(out.cum_time)[0]
     # car 2 is 2 laps down: leader + 2*90 + rank*0.5
     assert cum[2] - cum[0] > 170.0
 
@@ -320,27 +320,27 @@ def test_vsc_scales_gaps():
     params = quiet_params(d=3, vsc_prob=1.0)
     cars = fresh_cars(params, [0.0, 10.0, 20.0])
     out, _ = step(params, cars, lap=10)
-    cum = np.asarray(out.cum_time)[:, 0]
+    cum = np.asarray(out.cum_time)[0]
     np.testing.assert_allclose(cum - cum[0], [0.0, 8.0, 16.0], atol=1e-5)
 
 
 def test_red_flag_resets_gaps_and_tires():
     params = quiet_params(d=3, red_flag_prob=1.0)
     cars = fresh_cars(params, [0.0, 10.0, 20.0])
-    cars = dataclasses.replace(cars, tire_age=jnp.asarray([[20, 20, 20]], jnp.int32).T)
+    cars = dataclasses.replace(cars, tire_age=jnp.asarray([[20, 20, 20]], jnp.int32))
     out, _ = step(params, cars, lap=10, total_laps=57)  # remaining 47 -> HARD
-    cum = np.asarray(out.cum_time)[:, 0]
+    cum = np.asarray(out.cum_time)[0]
     np.testing.assert_allclose(cum - cum[0], [0.0, 0.1, 0.2], atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(out.tire_age)[:, 0], [1, 1, 1])
-    assert (np.asarray(out.compound)[:, 0] == cfg.HARD).all()
-    assert (np.asarray(out.used_mask)[:, 0] & (1 << cfg.HARD)).all()
+    np.testing.assert_array_equal(np.asarray(out.tire_age)[0], [1, 1, 1])
+    assert (np.asarray(out.compound)[0] == cfg.HARD).all()
+    assert (np.asarray(out.used_mask)[0] & (1 << cfg.HARD)).all()
 
 
 def test_event_priority_red_over_sc():
     params = quiet_params(d=3, red_flag_prob=1.0, sc_prob=1.0, vsc_prob=1.0)
     cars = fresh_cars(params, [0.0, 10.0, 20.0])
     out, _ = step(params, cars, lap=10)
-    cum = np.asarray(out.cum_time)[:, 0]
+    cum = np.asarray(out.cum_time)[0]
     # red-flag gaps (0.1), not SC gaps (0.5)
     np.testing.assert_allclose(cum - cum[0], [0.0, 0.1, 0.2], atol=1e-5)
 
@@ -354,7 +354,7 @@ def test_drs_awarded_within_window():
     params = quiet_params(d=3)
     cars = fresh_cars(params, [0.0, 0.5, 5.0])
     out, _ = step(params, cars, lap=10)
-    drs = np.asarray(out.drs)[:, 0]
+    drs = np.asarray(out.drs)[0]
     assert drs.tolist() == [False, True, False]  # leader never; 0.5s gap yes
 
 
@@ -362,16 +362,16 @@ def test_drs_disabled_after_sc_until_expiry():
     params = quiet_params(d=2)
     cars = fresh_cars(params, [0.0, 0.5])
     out, _ = step(params, cars, lap=10, drs_until=10)
-    assert not np.asarray(out.drs)[:, 0].any()
+    assert not np.asarray(out.drs)[0].any()
     out2, _ = step(params, cars, lap=11, drs_until=10)
-    assert np.asarray(out2.drs)[:, 0][1]
+    assert np.asarray(out2.drs)[0][1]
 
 
 def test_drs_never_on_early_laps():
     params = quiet_params(d=2)
     cars = fresh_cars(params, [0.0, 0.5])
     out, _ = step(params, cars, lap=2)
-    assert not np.asarray(out.drs)[:, 0].any()
+    assert not np.asarray(out.drs)[0].any()
 
 
 # ---------------------------------------------------------------------------
@@ -389,14 +389,14 @@ def test_overtake_success_rate_and_time_rewrite():
         dirty_air_threshold=0.0,
     )
     n = 4000
-    cars = init_cars(params, jnp.tile(jnp.arange(d)[:, None], (1, n)))
-    cum = jnp.tile(jnp.asarray([0.0, 3.0], jnp.float32)[:, None], (1, n))
+    cars = init_cars(params, jnp.tile(jnp.arange(d), (n, 1)))
+    cum = jnp.tile(jnp.asarray([[0.0, 3.0]], jnp.float32), (n, 1))
     cars = dataclasses.replace(
         cars,
         cum_time=cum,
-        compound=jnp.full((d, n), cfg.MEDIUM, jnp.int32),
-        tire_age=jnp.zeros((d, n), jnp.int32),
-        laps_done=jnp.ones((d, n), jnp.int32),
+        compound=jnp.full((n, d), cfg.MEDIUM, jnp.int32),
+        tire_age=jnp.zeros((n, d), jnp.int32),
+        laps_done=jnp.ones((n, d), jnp.int32),
     )
     d0 = jnp.zeros((n,), jnp.int32)
     out, _ = _jit_step(params, 57, cars, d0, jnp.int32(10))
@@ -404,11 +404,11 @@ def test_overtake_success_rate_and_time_rewrite():
     # lap times: car0 = 91.2, car1 = 90.0, so pre-overtake car1 closes to
     # 3.0 - 1.2 = 1.8s. Overtake: delta = 1.2 > 0.6 with prob 0.5.
     cum_out = np.asarray(out.cum_time)
-    swapped = cum_out[1, :] < cum_out[0, :]
+    swapped = cum_out[:, 1] < cum_out[:, 0]
     rate = swapped.mean()
     assert 0.45 < rate < 0.55, rate
     # time rewrite: new_behind = ahead_cum - 0.1; ahead = new_behind + 0.3
-    gaps = cum_out[0, swapped] - cum_out[1, swapped]
+    gaps = cum_out[swapped, 0] - cum_out[swapped, 1]
     np.testing.assert_allclose(gaps, 0.3, atol=1e-4)
 
 
@@ -420,15 +420,15 @@ def test_no_overtake_below_delta_threshold():
         dirty_air_threshold=0.0,
     )
     n = 512
-    cars = init_cars(params, jnp.tile(jnp.arange(2)[:, None], (1, n)))
-    cum = jnp.tile(jnp.asarray([0.0, 3.0], jnp.float32)[:, None], (1, n))
+    cars = init_cars(params, jnp.tile(jnp.arange(2), (n, 1)))
+    cum = jnp.tile(jnp.asarray([[0.0, 3.0]], jnp.float32), (n, 1))
     cars = dataclasses.replace(
         cars, cum_time=cum,
-        laps_done=jnp.ones((2, n), jnp.int32),
+        laps_done=jnp.ones((n, 2), jnp.int32),
     )
     out, _ = _jit_step(params, 57, cars, jnp.zeros((n, ), jnp.int32), jnp.int32(10))
     cum_out = np.asarray(out.cum_time)
-    assert (cum_out[0, :] < cum_out[1, :]).all()
+    assert (cum_out[:, 0] < cum_out[:, 1]).all()
 
 
 # ---------------------------------------------------------------------------
@@ -442,7 +442,7 @@ def test_drs_window_is_strict():
     cars = fresh_cars(params, [0.0, 1.0, 1.5])
     out, _ = step(params, cars, lap=10)
     # identical pace cars -> gaps preserved: exactly 1.0 -> no DRS; 0.5 -> DRS
-    drs = np.asarray(out.drs)[:, 0]
+    drs = np.asarray(out.drs)[0]
     assert drs.tolist() == [False, False, True]
 
 
@@ -452,13 +452,13 @@ def test_pit_boundary_remaining_exactly_six():
     cars = fresh_cars(params, [0.0])
     cars = dataclasses.replace(
         cars,
-        compound=jnp.asarray([[cfg.SOFT]], jnp.int32).T,
-        tire_age=jnp.asarray([[30]], jnp.int32).T,
+        compound=jnp.asarray([[cfg.SOFT]], jnp.int32),
+        tire_age=jnp.asarray([[30]], jnp.int32),
     )
     out6, _ = step(params, cars, lap=51, total_laps=57)  # remaining 6
-    assert np.asarray(out6.pit_stops)[:, 0][0] == 1
+    assert np.asarray(out6.pit_stops)[0][0] == 1
     out5, _ = step(params, cars, lap=52, total_laps=57)  # remaining 5
-    assert np.asarray(out5.pit_stops)[:, 0][0] == 0
+    assert np.asarray(out5.pit_stops)[0][0] == 0
 
 
 def test_red_flag_near_race_end_picks_soft():
@@ -466,7 +466,7 @@ def test_red_flag_near_race_end_picks_soft():
     params = quiet_params(d=2, red_flag_prob=1.0)
     cars = fresh_cars(params, [0.0, 5.0])
     out, _ = step(params, cars, lap=50, total_laps=57)  # remaining 7
-    assert (np.asarray(out.compound)[:, 0] == cfg.SOFT).all()
+    assert (np.asarray(out.compound)[0] == cfg.SOFT).all()
 
 
 def test_all_cars_dnf_classification():
@@ -475,10 +475,10 @@ def test_all_cars_dnf_classification():
     cars = fresh_cars(params, [10.0, 20.0, 30.0, 40.0])
     cars = dataclasses.replace(
         cars,
-        dnf=jnp.asarray([[True, True, True, True]]).T,
-        dnf_lap=jnp.asarray([[5, 9, 9, 2]], jnp.int32).T,
+        dnf=jnp.asarray([[True, True, True, True]]),
+        dnf_lap=jnp.asarray([[5, 9, 9, 2]], jnp.int32),
     )
-    pos = np.asarray(classify(cars))[:, 0]
+    pos = np.asarray(classify(cars))[0]
     # lap 9 ties broken by cum desc: car2 (30) before car1 (20); then 5, then 2
     np.testing.assert_array_equal(pos, [3, 2, 1, 4])
 
@@ -492,33 +492,33 @@ def test_overtake_probability_caps_at_half():
         dirty_air_threshold=0.0,
     )
     n = 4000
-    cars = init_cars(params, jnp.tile(jnp.arange(2)[:, None], (1, n)))
+    cars = init_cars(params, jnp.tile(jnp.arange(2), (n, 1)))
     # gap 10s: one lap of 5s/lap raw pace difference cannot close it, so a
     # position change can only come from the overtake step
-    cum = jnp.tile(jnp.asarray([0.0, 10.0], jnp.float32)[:, None], (1, n))
+    cum = jnp.tile(jnp.asarray([[0.0, 10.0]], jnp.float32), (n, 1))
     cars = dataclasses.replace(
         cars, cum_time=cum,
-        laps_done=jnp.ones((2, n), jnp.int32),
+        laps_done=jnp.ones((n, 2), jnp.int32),
     )
     out, _ = _jit_step(params, 57, cars, jnp.zeros((n,), jnp.int32), jnp.int32(10))
     cum_out = np.asarray(out.cum_time)
     # prob = min(0.5, 5/2) caps at 0.5; with a single pair, a failed first
     # pass ends the cascade (reference early break), so overall ~0.5
-    rate = (cum_out[1, :] < cum_out[0, :]).mean()
+    rate = (cum_out[:, 1] < cum_out[:, 0]).mean()
     assert 0.45 < rate < 0.55, rate
 
 
 def test_vsc_refund_is_about_30_percent():
     params = quiet_params(d=2, vsc_prob=1.0)
     n = 4000
-    cars = init_cars(params, jnp.tile(jnp.arange(2)[:, None], (1, n)))
+    cars = init_cars(params, jnp.tile(jnp.arange(2), (n, 1)))
     cars = dataclasses.replace(
         cars,
-        cum_time=jnp.tile(jnp.asarray([0.0, 10.0], jnp.float32)[:, None], (1, n)),
-        tire_age=jnp.full((2, n), 10, jnp.int32),
-        laps_done=jnp.ones((2, n), jnp.int32),
+        cum_time=jnp.tile(jnp.asarray([[0.0, 10.0]], jnp.float32), (n, 1)),
+        tire_age=jnp.full((n, 2), 10, jnp.int32),
+        laps_done=jnp.ones((n, 2), jnp.int32),
     )
     out, _ = _jit_step(params, 57, cars, jnp.zeros((n,), jnp.int32), jnp.int32(10))
     # refund: age 10-1+1 = 10 (refund then +1 for the lap); no refund: 11
-    refunded = (np.asarray(out.tire_age)[0, :] == 10).mean()
+    refunded = (np.asarray(out.tire_age)[:, 0] == 10).mean()
     assert 0.25 < refunded < 0.35, refunded

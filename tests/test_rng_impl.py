@@ -72,7 +72,7 @@ def test_rbg_sharding_invariance(std_setup):
 
         pos = simulate_races(params, key, n, 20, rng_impl="rbg")
         pos = jax.lax.with_sharding_constraint(
-            pos, NamedSharding(mesh, P(None, "sims"))
+            pos, NamedSharding(mesh, P("sims", None))
         )
         return _histogram(pos, params.n_drivers).astype(jnp.float32) / n
 
