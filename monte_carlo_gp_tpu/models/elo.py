@@ -17,6 +17,7 @@ per-event Python double loop (elo.py:45-122).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 
@@ -221,9 +222,17 @@ class F1EloSystem:
             discs[i] = disc
         # The Elo scan is microscopic compute (E<=100 events over N<=40
         # drivers) — pin it to the host CPU backend so it never pays a TPU
-        # compile round-trip (tens of seconds over a remote tunnel).
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
+        # compile round-trip (tens of seconds over a remote tunnel). Some
+        # TPU interpreters register ONLY the TPU platform (no 'cpu'
+        # backend at all); fall back to the default device there rather
+        # than crash — one small compile, still correct.
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        with contextlib.ExitStack() as stack:
+            if cpu is not None:
+                stack.enter_context(jax.default_device(cpu))
             self._ratings = np.asarray(
                 scan_update(
                     jnp.asarray(self._ratings),

@@ -109,6 +109,24 @@ def test_state_dict_roundtrip():
     assert restored.names == system.names
 
 
+def test_flush_without_cpu_backend(monkeypatch):
+    """Some TPU interpreters register ONLY the TPU platform — no 'cpu'
+    backend at all — so the flush's CPU pin (`jax.local_devices(
+    backend="cpu")`) raises RuntimeError there. flush must fall back to
+    the default device instead of crashing the prediction CLI (regression:
+    caught live on the axon interpreter)."""
+    import jax
+
+    def no_cpu_backend(*args, **kwargs):
+        raise RuntimeError("Unknown backend cpu. Available backends are ['axon']")
+
+    monkeypatch.setattr(jax, "local_devices", no_cpu_backend)
+    system = F1EloSystem()
+    system.update_race_ratings([("A", 1), ("B", 2)])
+    system.flush()
+    assert system.get_rating("A", "race") > system.get_rating("B", "race")
+
+
 def test_interleaved_flushes_match_single_flush():
     """Batched scan flushes must commute with query points: flushing after
     every event equals flushing once at the end, including when new drivers
