@@ -112,8 +112,9 @@ def simulate_races_state(
     Used by the multi-race vmap path (parallel/sharded.py) where lap counts
     vary across the batched races (SURVEY.md §7 "variable laps" hard part).
 
-    `rng_impl` selects the bulk bit source (None -> MCGP_RNG_IMPL; see
-    ops/rng.engine_key). The draw-tree structure is impl-independent.
+    `rng_impl` selects the bulk bit source (None -> MCGP_RNG_IMPL if set,
+    else rbg on TPU / threefry2x32 elsewhere; see ops/rng.default_impl).
+    The draw-tree structure is impl-independent.
     """
     key = rng.engine_key(key, rng_impl)
     start_pos = sample_grid(

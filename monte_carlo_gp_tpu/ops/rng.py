@@ -18,16 +18,32 @@ import os
 import jax
 
 # Bit-source implementation for the XLA engine's bulk draws.
-#   threefry2x32 (default) — pure-software counter-based bits; bitwise stable
-#     across backends and JAX versions (the repo's long-standing contract).
+#   threefry2x32 — pure-software counter-based bits; bitwise stable across
+#     backends and JAX versions (the repo's long-standing portable contract;
+#     the default everywhere except on TPU).
 #   rbg — key derivation (fold_in/split) still threefry over the key data,
 #     but bulk bit *generation* lowers to the XLA RngBitGenerator op, which
 #     is hardware-accelerated on TPU (the software threefry costs the XLA
-#     engine ~300 (D,S)-op equivalents per lap — docs/KERNEL_DESIGN.md).
+#     engine ~300 (D,S)-op equivalents per lap, ~30% of its op budget —
+#     docs/KERNEL_DESIGN.md; measured 0.85M -> 1.05M sims/s on v5e).
 #     Sharding/device-count bitwise invariance holds (validated in
 #     tests/test_rng_impl.py); values are NOT stable across backends or XLA
 #     versions, so rbg results differ from threefry results at the same seed.
-ENGINE_IMPL = os.environ.get("MCGP_RNG_IMPL", "threefry2x32")
+#
+# Default resolution: MCGP_RNG_IMPL if set, else rbg when the default JAX
+# backend is TPU, else threefry2x32. On TPU the flagship Pallas kernel
+# already draws from the on-core hardware PRNG with exactly rbg's stability
+# semantics (stable per seed within a backend/version, not across), so the
+# XLA engine defaulting to the hardware bit source there is consistent —
+# and threefry remains one env var (or `rng_impl=` argument) away.
+ENGINE_IMPL = os.environ.get("MCGP_RNG_IMPL")
+
+
+def default_impl() -> str:
+    """Resolve the bit-source default (see ENGINE_IMPL comment above)."""
+    if ENGINE_IMPL:
+        return ENGINE_IMPL
+    return "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
 
 # Stream ids — one per independent random decision in the event model.
 STREAM_GRID = 0          # grid sampling gumbels
@@ -54,13 +70,13 @@ def subkey(key: jax.Array, i: int) -> jax.Array:
 def engine_key(key: jax.Array, impl: str | None = None) -> jax.Array:
     """Convert the engine's base key to the configured bit-source impl.
 
-    `impl=None` reads MCGP_RNG_IMPL (module global, default threefry).
-    For 'rbg' the (2,)-word threefry key data is doubled into the (4,)-word
-    rbg layout; all stream structure still comes from `fold_in`, so the
-    threefry and rbg draw trees are derived identically — only the bulk
-    bit generation differs.
+    `impl=None` resolves via `default_impl()` (MCGP_RNG_IMPL if set, else
+    rbg on TPU / threefry elsewhere). For 'rbg' the (2,)-word threefry key
+    data is doubled into the (4,)-word rbg layout; all stream structure
+    still comes from `fold_in`, so the threefry and rbg draw trees are
+    derived identically — only the bulk bit generation differs.
     """
-    impl = impl or ENGINE_IMPL
+    impl = impl or default_impl()
     if impl == "threefry2x32":
         return key
     import jax.numpy as jnp

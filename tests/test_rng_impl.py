@@ -19,6 +19,19 @@ from monte_carlo_gp_tpu.ops import rng
 from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
 
 
+def test_default_impl_resolution(monkeypatch):
+    """Default bit source: MCGP_RNG_IMPL wins; else rbg on TPU, threefry
+    elsewhere (this suite runs on the forced-CPU mesh, so threefry here).
+    The Pallas flagship already uses the on-core hardware PRNG on TPU with
+    the same stability semantics, so the platform-aware default keeps the
+    two engines' contracts aligned (ops/rng.py module comment)."""
+    assert jax.default_backend() == "cpu"
+    monkeypatch.setattr(rng, "ENGINE_IMPL", None)
+    assert rng.default_impl() == "threefry2x32"
+    monkeypatch.setattr(rng, "ENGINE_IMPL", "rbg")
+    assert rng.default_impl() == "rbg"
+
+
 def test_engine_key_conversion():
     key = jax.random.PRNGKey(3)
     same = rng.engine_key(key)  # default impl: pass-through
