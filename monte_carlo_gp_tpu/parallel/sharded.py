@@ -1,11 +1,14 @@
-"""Season-scale sharded simulation: many races x many simulations on a 2D
-(race, sims) mesh in one compile.
+"""Season-scale sharded simulation: many races x many simulations in one
+compile, simulations GSPMD-sharded across the whole mesh.
 
 This is BASELINE.md's "full-season backtest sharded across chips" config:
 per-race `SimParams` are stacked into one race-batched pytree (padding the
 driver axis to the largest entry list), lap counts become a traced per-race
-scalar over a fixed max-lap scan, and a single vmapped+jitted program
-simulates every (race, simulation) pair with GSPMD partitioning both axes.
+scalar over a fixed max-lap scan, and a single jitted program runs the
+races as a `lax.map` of flat single-race engine calls — sims sharded over
+every device, races sequential (see the measured note at `_season_probs`:
+vmapping the race axis cost 20.8x in XLA layout pathology and buys nothing
+for equal-sized independent races).
 """
 
 from __future__ import annotations
@@ -56,12 +59,20 @@ def stack_params(params_list: list[SimParams]) -> tuple[SimParams, int]:
     return stacked, d_max
 
 
-# Measured note (one v5e): the race-vmap costs ~5x per sim vs the flat
-# engine (5.9s vs 1.1s for 200k sims x 78 masked laps) — XLA lays out the
-# batched (R, S, D[, D]) intermediates less favorably. Tolerable: this path
-# exists for multi-chip scale-out and its warm device time is a small
-# fraction of the walk-forward host prep; the fused Pallas kernel is the
-# single-host flagship.
+# Measured note (one v5e, benchmarks/season_vmap.py): batching the race
+# axis with `vmap` cost 20.8x per sim vs the flat engine (5.89s vs 0.283s
+# for the same 204,800 sims x 78 masked laps) — XLA lays out the batched
+# (R, S, D[, D]) intermediates pathologically, and the gap *grew* as the
+# flat engine got faster (round 2 measured 5.9s vs 1.1s = 5x; the vmap
+# time never moved). Races are therefore run as a `lax.map` (sequential
+# scan) of flat single-race programs inside ONE compile: each iteration is
+# exactly the well-tiled flat engine, the sims axis stays GSPMD-sharded
+# across every mesh device, and per-race results remain bitwise equal to
+# solo launches (same fold_in(key, r) keys, same (S, D) draw shapes).
+# Sequential races lose nothing — races are equal-sized independent work,
+# so race-sharding and race-sequencing have identical total throughput —
+# and peak memory drops by R (positions die per iteration; the carried
+# histogram is (D, D)).
 @functools.partial(
     jax.jit,
     static_argnames=("n_sims", "max_laps", "mesh", "race_axis", "sims_axis"),
@@ -76,18 +87,24 @@ def _season_probs(
     race_axis: str,
     sims_axis: str,
 ) -> jax.Array:
-    def one_race(params, laps, key):
-        positions = simulate_races(params, key, n_sims, max_laps, race_laps=laps)
-        return positions
+    # Shard the sims dim over every mesh axis: a (race, sims) mesh folds
+    # both axes into the sims partition, so legacy 2D meshes use all their
+    # devices (the race axis is sequential now).
+    axes = tuple(a for a in (race_axis, sims_axis) if a in mesh.axis_names)
+    spec = P(axes if len(axes) > 1 else axes[0], None)
 
-    positions = jax.vmap(one_race)(stacked, race_laps, keys)  # (R, S, D)
-    positions = jax.lax.with_sharding_constraint(
-        positions, NamedSharding(mesh, P(race_axis, sims_axis, None))
-    )
-    d = positions.shape[-1]
-    onehot = positions[..., None] == jnp.arange(1, d + 1, dtype=positions.dtype)
-    counts = jnp.sum(onehot, axis=1, dtype=jnp.int32)  # psum over sims shards
-    return counts.astype(jnp.float32) / n_sims
+    def one_race(args):
+        params, laps, key = args
+        positions = simulate_races(params, key, n_sims, max_laps, race_laps=laps)
+        positions = jax.lax.with_sharding_constraint(
+            positions, NamedSharding(mesh, spec)
+        )
+        d = positions.shape[-1]
+        onehot = positions[..., None] == jnp.arange(1, d + 1, dtype=positions.dtype)
+        counts = jnp.sum(onehot, axis=0, dtype=jnp.int32)  # psum over shards
+        return counts.astype(jnp.float32) / n_sims
+
+    return jax.lax.map(one_race, (stacked, race_laps, keys))
 
 
 def simulate_season_sharded(
@@ -108,9 +125,10 @@ def simulate_season_sharded(
     if mesh is None:
         from monte_carlo_gp_tpu.parallel.mesh import make_mesh
 
-        n_dev = len(jax.devices())
-        race_dim = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
-        mesh = make_mesh({race_axis: race_dim, sims_axis: n_dev // race_dim})
+        # Races run sequentially (lax.map), so the whole device fleet goes
+        # on the sims axis; a legacy (race, sims) mesh still uses every
+        # device (both axes fold into the sims partition).
+        mesh = make_mesh({sims_axis: len(jax.devices())})
     stacked, _ = stack_params(params_list)
     max_laps = int(max(laps_list))
     race_laps = jnp.asarray(laps_list, jnp.int32)
