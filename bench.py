@@ -196,7 +196,7 @@ def main() -> None:
 
         np.asarray(run_xla(key))  # compile
         xla_keys = [
-            jax.device_put(jax.random.fold_in(key, 10 + i)) for i in range(2)
+            jax.device_put(jax.random.fold_in(key, 10 + i)) for i in range(4)
         ]
         xla_times = []
         for k in xla_keys:

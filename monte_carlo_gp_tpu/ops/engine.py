@@ -135,8 +135,7 @@ def simulate_races_state(
 
     narrow_rank = params.n_drivers <= 127  # rank values < D must fit int8
 
-    def step(carry, lap):
-        enc_cars, drs_until, enc_rank = carry
+    def do_lap(enc_cars, drs_until, enc_rank, lap):
         cars = _decode_carry(enc_cars, narrow)
         rank = enc_rank.astype(jnp.int32) if narrow_rank else enc_rank
         new_cars, new_drs, new_rank = lap_step(
@@ -145,20 +144,34 @@ def simulate_races_state(
         new_enc = _encode_carry(new_cars, narrow)
         if narrow_rank:
             new_rank = new_rank.astype(jnp.int8)
-        if race_laps is not None:
-            live = lap <= laps_total
-            new_enc = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(live, new, old), new_enc, enc_cars
-            )
-            new_drs = jnp.where(live, new_drs, drs_until)
-            new_rank = jnp.where(live, new_rank, enc_rank)
-        return (new_enc, new_drs, new_rank), None
+        return new_enc, new_drs, new_rank
 
-    laps = jnp.arange(2, total_laps + 1, dtype=jnp.int32)
     rank0_enc = rank0.astype(jnp.int8) if narrow_rank else rank0
-    (enc_cars, _, _), _ = jax.lax.scan(
-        step, (_encode_carry(cars, narrow), drs_until0, rank0_enc), laps
-    )
+    carry0 = (_encode_carry(cars, narrow), drs_until0, rank0_enc)
+    if race_laps is None:
+        laps = jnp.arange(2, total_laps + 1, dtype=jnp.int32)
+        (enc_cars, _, _), _ = jax.lax.scan(
+            lambda c, lap: (do_lap(*c, lap), None), carry0, laps
+        )
+    else:
+        # Dynamic trip count: run exactly `race_laps` laps instead of
+        # scanning the whole padded bucket with masked no-op tails — a
+        # 57-lap race in a 78-lap compile bucket costs 57 laps, not 78
+        # (the Pallas kernel got the same treatment in round 6). The body
+        # is the identical lap step, so results stay bitwise equal to the
+        # full-length scan (tests/test_sharding.py masked-laps test).
+        bound = jnp.minimum(laps_total, jnp.int32(total_laps))
+
+        def w_cond(state):
+            return state[0] <= bound
+
+        def w_body(state):
+            lap, c = state
+            return lap + 1, do_lap(*c, lap)
+
+        _, (enc_cars, _, _) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(2), carry0)
+        )
     cars = _decode_carry(enc_cars, narrow)
     return classify(cars), cars
 
