@@ -427,27 +427,35 @@ def _overtakes(params: SimParams, cars: Cars, key: jax.Array) -> Cars:
     d = cars.cum_time.shape[-1]
     pace = params.base_pace[None, :] + cars.tire_age.astype(jnp.float32) * params.tire_deg[None, :]
 
+    # DNF gating folds into poisoned pace/bonus values so each pass scatters
+    # THREE arrays instead of four (pace, dnf, drs -> pace_p, bonus_p): a
+    # -1e30 "ahead" pace makes any pair behind a DNF car ineligible, and a
+    # -3e30 DRS bonus makes a DNF attacker ineligible even after the +1e30
+    # from its own poisoned pace cancels in. For live pairs both arrays are
+    # bitwise the originals and `delta` keeps the exact op order
+    # (ahead - pace + bonus), so decisions are bit-identical to the masked
+    # form. pace/dnf/drs are all fixed across the 3 passes.
+    pace_p = jnp.where(cars.dnf, jnp.float32(-1e30), pace)
+    bonus_p = jnp.where(
+        cars.dnf,
+        jnp.float32(-3e30),
+        jnp.where(cars.drs, params.drs_delta, 0.0),
+    )
+
     pass_active = jnp.ones(cars.cum_time.shape[:-1], bool)
     cum = cars.cum_time
     for p in range(OVERTAKE_PASSES):
         # Reference sorts ALL cars (including DNF) by cumulative time.
         rank = rank_by_unique(cum)
         cum_pos = scatter_by_rank(cum, rank)
-        pace_pos = scatter_by_rank(pace, rank)
-        dnf_pos = scatter_by_rank(cars.dnf, rank)
-        drs_pos = scatter_by_rank(cars.drs, rank)
+        pace_pos = scatter_by_rank(pace_p, rank)
+        bonus_pos = scatter_by_rank(bonus_p, rank)
 
         # delta = pace_ahead - pace_behind (+ DRS boost for the car behind);
         # indexed by the BEHIND car's position 1..D-1.
         ahead_pace = jnp.concatenate([pace_pos[..., :1], pace_pos[..., :-1]], axis=-1)
-        ahead_dnf = jnp.concatenate([dnf_pos[..., :1], dnf_pos[..., :-1]], axis=-1)
-        delta = ahead_pace - pace_pos + jnp.where(drs_pos, params.drs_delta, 0.0)
-        eligible = (
-            (jnp.arange(d) > 0)[None, :]
-            & ~dnf_pos
-            & ~ahead_dnf
-            & (delta > params.overtake_delta)
-        )
+        delta = ahead_pace - pace_pos + bonus_pos
+        eligible = (jnp.arange(d) > 0)[None, :] & (delta > params.overtake_delta)
         prob = jnp.minimum(0.5, delta / 2.0)
         u = jax.random.uniform(rng.subkey(key, p), cum_pos.shape)
         swap = eligible & (u < prob) & pass_active[..., None]
