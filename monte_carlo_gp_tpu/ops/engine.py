@@ -107,10 +107,11 @@ def simulate_races_state(
     One grid sample + race per simulation (reference simulation.py:83-94).
 
     `race_laps` (optional traced int32 scalar <= total_laps) enables a single
-    compile to serve circuits with different lap counts: the scan always runs
-    `total_laps` iterations but laps beyond `race_laps` are masked no-ops.
-    Used by the multi-race vmap path (parallel/sharded.py) where lap counts
-    vary across the batched races (SURVEY.md §7 "variable laps" hard part).
+    compile to serve circuits with different lap counts: the lap loop becomes
+    a while_loop that executes exactly `race_laps` iterations inside the
+    `total_laps` compile bucket. Used by the multi-race season path
+    (parallel/sharded.py lax.map) where lap counts vary across the batched
+    races (SURVEY.md §7 "variable laps" hard part).
 
     `rng_impl` selects the bulk bit source (None -> MCGP_RNG_IMPL if set,
     else rbg on TPU / threefry2x32 elsewhere; see ops/rng.default_impl).
@@ -214,9 +215,10 @@ def run_monte_carlo(
     sequentially via `lax.map`, each fully batched and sharded.
 
     `race_laps` (traced int32 scalar <= total_laps) lets ONE compile at a
-    padded `total_laps` bucket serve every circuit: laps beyond `race_laps`
-    are masked no-ops. The predictor buckets lap counts to multiples of 16
-    so a season backtest compiles ~5 programs instead of ~15.
+    padded `total_laps` bucket serve every circuit: the lap loop executes
+    exactly `race_laps` iterations (dynamic while_loop trip count), so the
+    padding costs nothing. The predictor buckets lap counts to multiples of
+    16 so a season backtest compiles ~5 programs instead of ~15.
     """
     d = params.n_drivers
     if sims_per_block is None or sims_per_block >= n_sims:

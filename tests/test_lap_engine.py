@@ -522,3 +522,87 @@ def test_vsc_refund_is_about_30_percent():
     # refund: age 10-1+1 = 10 (refund then +1 for the lap); no refund: 11
     refunded = (np.asarray(out.tire_age)[:, 0] == 10).mean()
     assert 0.25 < refunded < 0.35, refunded
+
+
+def test_overtake_poison_fold_matches_masked_form():
+    """The DNF/DRS poison fold in `_overtakes` (three scatters per pass
+    instead of four) must be bit-identical to the explicit-mask form it
+    replaced, across random states with retired cars and DRS holders."""
+    from monte_carlo_gp_tpu.ops import rng as _rng
+    from monte_carlo_gp_tpu.ops.lap_engine import (
+        OVERTAKE_PASSES,
+        OVERTAKE_RESET_GAP,
+        _overtakes,
+    )
+    from monte_carlo_gp_tpu.ops.ranking import (
+        gather_at_rank,
+        rank_by_unique,
+        scatter_by_rank,
+    )
+
+    def masked_overtakes(params, cars, key):
+        # the pre-fold formulation, verbatim semantics
+        d = cars.cum_time.shape[-1]
+        pace = (
+            params.base_pace[None, :]
+            + cars.tire_age.astype(jnp.float32) * params.tire_deg[None, :]
+        )
+        pass_active = jnp.ones(cars.cum_time.shape[:-1], bool)
+        cum = cars.cum_time
+        for p in range(OVERTAKE_PASSES):
+            rank = rank_by_unique(cum)
+            cum_pos = scatter_by_rank(cum, rank)
+            pace_pos = scatter_by_rank(pace, rank)
+            dnf_pos = scatter_by_rank(cars.dnf, rank)
+            drs_pos = scatter_by_rank(cars.drs, rank)
+            ahead_pace = jnp.concatenate(
+                [pace_pos[..., :1], pace_pos[..., :-1]], axis=-1
+            )
+            ahead_dnf = jnp.concatenate(
+                [dnf_pos[..., :1], dnf_pos[..., :-1]], axis=-1
+            )
+            delta = ahead_pace - pace_pos + jnp.where(drs_pos, params.drs_delta, 0.0)
+            eligible = (
+                (jnp.arange(d) > 0)[None, :]
+                & ~dnf_pos
+                & ~ahead_dnf
+                & (delta > params.overtake_delta)
+            )
+            prob = jnp.minimum(0.5, delta / 2.0)
+            u = jax.random.uniform(_rng.subkey(key, p), cum_pos.shape)
+            swap = eligible & (u < prob) & pass_active[..., None]
+            cols = [cum_pos[..., i] for i in range(d)]
+            for i in range(1, d):
+                sw = swap[..., i]
+                nb = jnp.maximum(0.1, cols[i - 1] - 0.1)
+                cols[i - 1] = jnp.where(sw, nb + OVERTAKE_RESET_GAP, cols[i - 1])
+                cols[i] = jnp.where(sw, nb, cols[i])
+            cum_pos = jnp.stack(cols, axis=-1)
+            cum = gather_at_rank(cum_pos, rank)
+            pass_active = pass_active & jnp.any(swap, axis=-1)
+        return cum
+
+    d, n = 12, 256
+    nprng = np.random.default_rng(11)
+    params = quiet_params(
+        d=d,
+        base_pace=(90.0 + 2.0 * nprng.standard_normal(d)).astype(np.float32),
+        tire_deg=np.clip(0.05 + 0.02 * nprng.standard_normal(d), 0.01, 0.15),
+        overtake_delta=0.4,
+    )
+    cars = init_cars(params, jnp.tile(jnp.arange(d), (n, 1)))
+    cars = dataclasses.replace(
+        cars,
+        cum_time=jnp.asarray(
+            np.cumsum(nprng.uniform(0.1, 3.0, (n, d)), axis=1), jnp.float32
+        ),
+        tire_age=jnp.asarray(nprng.integers(0, 30, (n, d)), jnp.int32),
+        dnf=jnp.asarray(nprng.uniform(size=(n, d)) < 0.15),
+        drs=jnp.asarray(nprng.uniform(size=(n, d)) < 0.4),
+    )
+    key = jax.random.PRNGKey(21)
+    folded = np.asarray(_overtakes(params, cars, key).cum_time)
+    masked = np.asarray(masked_overtakes(params, cars, key))
+    np.testing.assert_array_equal(folded, masked)
+    # the poisoning must actually have been exercised
+    assert bool(np.asarray(cars.dnf).any()) and bool(np.asarray(cars.drs).any())
