@@ -65,6 +65,12 @@ def test_xla_bucketed_run_is_bitwise_exact():
     np.testing.assert_array_equal(exact, bucketed)
 
 
+@pytest.mark.skipif(
+    ON_TPU,
+    reason="force_tpu_interpret_mode ABORTS the axon TPU client, poisoning "
+    "the whole test process (CLAUDE.md outage signature); this is a CPU-mesh "
+    "structure test — the hardware contract is the _on_tpu test below",
+)
 def test_pallas_bucketed_masking_structure():
     """Interpreter mode (zero PRNG -> fully deterministic procession): the
     bucket-masked kernel must match the exact-length kernel exactly; a

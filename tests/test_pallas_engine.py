@@ -35,6 +35,12 @@ def small_params(d=8):
     )
 
 
+@pytest.mark.skipif(
+    ON_TPU,
+    reason="force_tpu_interpret_mode ABORTS the axon TPU client, poisoning "
+    "the whole test process (CLAUDE.md outage signature); CPU-mesh test — "
+    "hardware coverage is the *_on_tpu suite",
+)
 def test_interpret_mode_structure():
     """With the interpreter's all-zero PRNG the race is the deterministic
     pace-order procession — still a valid doubly stochastic histogram."""
@@ -497,6 +503,11 @@ def test_prefetch_chunking_bitwise(monkeypatch):
     np.testing.assert_array_equal(season_base, season_chunked)
 
 
+@pytest.mark.skipif(
+    ON_TPU,
+    reason="force_tpu_interpret_mode ABORTS the axon TPU client, poisoning "
+    "the whole test process (CLAUDE.md outage signature); CPU-mesh test",
+)
 def test_small_grid_traces():
     """Grids with fewer than 4 drivers must still trace (race-control draws
     use a fixed 8-row block, not per-driver rows)."""
