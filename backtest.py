@@ -52,6 +52,11 @@ def main():
         help="Reproduce the reference defect where actual-result Elo updates "
              "silently no-op (SURVEY.md §3.2), for A/B comparison",
     )
+    parser.add_argument(
+        "--rookie-prior", action="store_true",
+        help="Seed unrated (rookie) drivers from a teammate-average Elo "
+             "prior instead of the flat initial rating (plan.md:2762-2783)",
+    )
     args = parser.parse_args()
 
     from monte_carlo_gp_tpu.models.predictor import F1Predictor
@@ -76,7 +81,7 @@ def main():
             backend = SyntheticBackend(seed=args.synthetic_seed)
         return F1Predictor(
             cache_dir=args.cache_dir, offline=args.offline, backend=backend,
-            engine=args.engine,
+            engine=args.engine, rookie_prior=args.rookie_prior,
         )
 
     print(f"\n{'='*60}")

@@ -34,6 +34,7 @@ def build_predictor(args):
         external_elo_cache=args.elo_cache,
         use_elo_cache=args.use_elo_cache or args.offline,
         engine=args.engine,
+        rookie_prior=args.rookie_prior,
     )
 
 
@@ -86,6 +87,16 @@ def main():
         help="Simulation backend: fused Pallas kernel (TPU) or XLA lap-scan",
     )
     parser.add_argument(
+        "--rookie-prior", action="store_true",
+        help="Seed unrated (rookie) drivers from a teammate-average Elo "
+             "prior instead of the flat initial rating",
+    )
+    parser.add_argument(
+        "--safe", action="store_true",
+        help="Degrade to uniform fallback predictions when the weekend has "
+             "no usable data instead of exiting with an error",
+    )
+    parser.add_argument(
         "--trace", type=str, default=None, metavar="DIR",
         help="Write a TensorBoard profiler trace of the prediction to DIR",
     )
@@ -129,13 +140,24 @@ def main():
                 probs = predictor.simulate_plan(plan, args.simulations, args.seed)
             results = predictor.assemble_result(plan, probs)
     except ValueError as e:
-        print(f"Error: {e}")
-        return
+        from monte_carlo_gp_tpu.models.safety import (
+            InsufficientDataError,
+            generate_fallback_predictions,
+        )
+
+        if args.safe and isinstance(e, InsufficientDataError):
+            print(f"Warning: {e}, using fallback predictions")
+            results = generate_fallback_predictions(
+                args.season, args.race, args.prediction_point
+            )
+        else:
+            print(f"Error: {e}")
+            return
     if args.timings:
         print()
         print(phase_report(timers))
         sims_per_s = args.simulations / max(
-            timers.totals["simulate (Monte Carlo)"], 1e-9
+            timers.totals.get("simulate (Monte Carlo)", 0.0), 1e-9
         )
         print(f"  {sims_per_s:,.0f} sims/sec (includes any compile)")
 

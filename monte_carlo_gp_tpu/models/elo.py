@@ -269,6 +269,45 @@ class F1EloSystem:
             return float(self._ratings[self._ids[driver], discipline])
         return self.params.initial_rating
 
+    def has_rating(self, driver: str) -> bool:
+        """True once the driver has appeared in any rated (or rookie-
+        initialized) event — i.e. `get_rating` would return real history
+        rather than the initial-rating default."""
+        return driver in self._ids
+
+    def initialize_rookie(
+        self, driver: str, team: str | None, driver_teams: dict[str, str] | None = None
+    ) -> float:
+        """Seed a new driver from a teammate prior (plan.md:2762-2783).
+
+        Prior = mean of the current QUALI ratings of the driver's teammates
+        (unknown teammates count at the initial rating, mirroring the spec's
+        ``.get('quali', 1500)``), or 1400 when the team has no other drivers
+        (conservative default for a new team); both disciplines are set to
+        prior - 50 (inexperience penalty). Overwrites any existing rating,
+        exactly like the spec — callers gate on `has_rating` when they only
+        want true rookies touched. Returns the applied rating.
+        """
+        self.flush()
+        if driver_teams is None:
+            from monte_carlo_gp_tpu import config as cfg
+
+            driver_teams = cfg.DRIVER_TEAMS
+        teammates = [
+            d for d, t in driver_teams.items() if team is not None and t == team and d != driver
+        ]
+        if teammates:
+            prior = float(
+                np.mean([self._rating_of(t, QUALI) for t in teammates])
+            )
+        else:
+            prior = 1400.0
+        rating = prior - 50.0
+        (idx,) = self._intern([driver])
+        self._ratings[idx, QUALI] = rating
+        self._ratings[idx, RACE] = rating
+        return rating
+
     def get_rating(self, driver: str, rating_type: str = "quali") -> float:
         """(elo.py:143-145)"""
         self.flush()

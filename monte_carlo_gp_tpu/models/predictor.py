@@ -33,7 +33,9 @@ from monte_carlo_gp_tpu.data.elo_cache import load_with_priority, save_elo
 from monte_carlo_gp_tpu.data.loader import F1DataLoader
 from monte_carlo_gp_tpu.models.elo import F1EloSystem
 from monte_carlo_gp_tpu.models.features import F1FeatureEngine
+from monte_carlo_gp_tpu.models.safety import InsufficientDataError
 from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+from monte_carlo_gp_tpu.utils.logging import log_event
 
 # FP-session fallback chains per prediction point (reference predictor.py:312-318).
 SESSION_CHAINS: dict[str, list[str]] = {
@@ -141,6 +143,7 @@ class F1Predictor:
         now: pd.Timestamp | None = None,
         sims_per_block: int | None = None,
         engine: str = "xla",
+        rookie_prior: bool = False,
     ):
         self.data_loader = F1DataLoader(
             cache_dir=cache_dir, offline=offline, backend=backend, now=now
@@ -155,6 +158,7 @@ class F1Predictor:
         self._use_elo_cache = use_elo_cache
         self._sims_per_block = sims_per_block
         self._engine = resolve_engine(engine)
+        self._rookie_prior = rookie_prior
         if use_elo_cache:
             loaded = load_with_priority(external_elo_cache, self._elo_cache_path)
             if loaded is not None:
@@ -277,10 +281,26 @@ class F1Predictor:
                 break
         weather = self.data_loader.get_weather(season, race, "R")
         if fp_data.empty:
-            raise ValueError(f"No practice data available for {season} {race}")
+            # InsufficientDataError is also a ValueError, so pre-existing
+            # callers keep working; `safety.safe_predict` degrades it to a
+            # uniform fallback (reference predictor.py:188-190 just raises).
+            raise InsufficientDataError(
+                f"No practice data available for {season} {race}"
+            )
 
         drivers = fp_data["Driver"].unique().tolist()
         n = len(drivers)
+
+        # Rookie seeding (opt-in): drivers in this weekend's field with no
+        # rated history get a teammate-prior Elo instead of the flat initial
+        # rating (plan.md:2762-2783; the reference leaves rookies at 1500).
+        if self._rookie_prior:
+            for d in drivers:
+                if not self.elo_system.has_rating(d):
+                    rating = self.elo_system.initialize_rookie(
+                        d, cfg.DRIVER_TEAMS.get(d)
+                    )
+                    log_event("rookie_initialized", driver=d, rating=rating)
 
         # Qualifying probabilities: actual grid or model prediction.
         if actual_grid and prediction_point in ("quali", "sprint"):
@@ -386,8 +406,6 @@ class F1Predictor:
             # (simulation.py:59-100), so 'auto' must be too: fall back to
             # the XLA lap-scan engine, which has no field-size limit,
             # instead of raising from the guard.
-            from monte_carlo_gp_tpu.utils.logging import log_event
-
             log_event(
                 "engine_fallback_xla",
                 reason="n_drivers>64 exceeds the fused kernel's rank-key packing",
@@ -400,7 +418,6 @@ class F1Predictor:
                 run_monte_carlo_pallas,
                 run_monte_carlo_pallas_sharded,
             )
-            from monte_carlo_gp_tpu.utils.logging import log_event
 
             tile = min(DEFAULT_SIMS_PER_TILE, int(n_simulations))
             # Round up to a whole number of kernel tiles; probabilities

@@ -71,6 +71,26 @@ def test_main_cli_build_cache_then_offline(tmp_path):
 
 
 @pytest.mark.slow
+def test_main_cli_safe_fallback(tmp_path):
+    """--safe degrades an empty-data weekend to uniform fallback predictions
+    (plan.md:2687-2760 wrapper) instead of exiting with an error."""
+    out = run_cli(
+        ["main.py", "--race", "Bahrain", "--season", "2024", "--offline",
+         "--safe"],
+        tmp_path,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "using fallback predictions" in out.stdout
+    assert "Confidence: none" in out.stdout
+    assert "POLE POSITION PROBABILITIES" in out.stdout
+    # Without --safe the same weekend is a hard error (original contract).
+    out2 = run_cli(
+        ["main.py", "--race", "Bahrain", "--season", "2024", "--offline"],
+        tmp_path,
+    )
+    assert "Error: No practice data available" in out2.stdout
+
+
 def test_main_cli_requires_race(tmp_path):
     out = run_cli(["main.py", "--synthetic"], tmp_path, timeout=120)
     assert out.returncode != 0
