@@ -77,24 +77,12 @@ def probe_backend() -> bool:
 
 
 def standard_params():
-    from monte_carlo_gp_tpu.config import make_sim_params
+    # Single source of truth for the scored scenario, shared with every
+    # harness in benchmarks/ (they import the same function, so a scenario
+    # tweak here cannot desynchronize them from the scored bench shape).
+    from benchmarks.common import standard_params as _std
 
-    d = N_DRIVERS
-    rng = np.random.default_rng(7)
-    grid = np.exp(
-        -((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 8.0
-    ).astype(np.float32)
-    grid /= grid.sum(axis=1, keepdims=True)
-    return make_sim_params(
-        grid_probs=grid,
-        base_pace=90.0 + 0.06 * np.arange(d),
-        tire_deg=np.clip(0.05 + 0.015 * rng.standard_normal(d), 0.01, 0.15),
-        variance=np.full(d, 0.15, np.float32),
-        dnf_rate=np.full(d, 0.0008, np.float32),
-        team_dnf_rate=np.full(d, 0.002, np.float32),
-        pit_loss=21.0,
-        overtake_delta=0.6,
-    )
+    return _std(N_DRIVERS)
 
 
 def main() -> None:

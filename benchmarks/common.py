@@ -1,6 +1,7 @@
 """Shared benchmark scenario: the BASELINE.md headline shape (20 drivers,
-57 laps) with the same parameter construction `bench.py` uses, so every
-harness in this directory measures the exact program the driver scores."""
+57 laps). This is the SINGLE source of the parameter construction — the
+scored `bench.py` (repo root) and every harness in this directory import
+this function, so they all measure the exact program the driver scores."""
 
 from __future__ import annotations
 

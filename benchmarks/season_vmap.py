@@ -18,7 +18,8 @@ import sys
 import time
 from pathlib import Path
 
-# ENGINE_IMPL is read at package-import time — the override must land first.
+# MCGP_RNG_IMPL is read at call time (ops/rng.default_impl), but set it
+# before any imports anyway so the harness can't drift if that changes.
 IMPL = sys.argv[1] if len(sys.argv) > 1 else None
 if IMPL:
     os.environ["MCGP_RNG_IMPL"] = IMPL

@@ -146,7 +146,18 @@ def main():
         )
 
         if args.safe and isinstance(e, InsufficientDataError):
+            # Same degrade contract as safety.safe_predict (which wraps the
+            # one-shot predict_weekend; the CLI uses the split prepare/
+            # simulate/assemble path for --timings/--trace, so it mirrors
+            # the wrapper here) — including the structured event, so
+            # MCGP_LOG_JSON consumers see CLI fallbacks too.
+            from monte_carlo_gp_tpu.utils.logging import log_event
+
             print(f"Warning: {e}, using fallback predictions")
+            log_event(
+                "prediction_fallback",
+                season=args.season, race=args.race, reason=str(e),
+            )
             results = generate_fallback_predictions(
                 args.season, args.race, args.prediction_point
             )
@@ -156,10 +167,10 @@ def main():
     if args.timings:
         print()
         print(phase_report(timers))
-        sims_per_s = args.simulations / max(
-            timers.totals.get("simulate (Monte Carlo)", 0.0), 1e-9
-        )
-        print(f"  {sims_per_s:,.0f} sims/sec (includes any compile)")
+        sim_t = timers.totals.get("simulate (Monte Carlo)", 0.0)
+        if sim_t > 0.0:  # absent when --safe degraded before simulating
+            sims_per_s = args.simulations / sim_t
+            print(f"  {sims_per_s:,.0f} sims/sec (includes any compile)")
 
     print(f"\nWeather: {'Wet' if results['weather'].get('rainfall') else 'Dry'}")
     print(f"Track temp: {results['weather'].get('track_temp', 'N/A')}C")

@@ -36,13 +36,17 @@ import jax
 # semantics (stable per seed within a backend/version, not across), so the
 # XLA engine defaulting to the hardware bit source there is consistent —
 # and threefry remains one env var (or `rng_impl=` argument) away.
-ENGINE_IMPL = os.environ.get("MCGP_RNG_IMPL")
 
 
 def default_impl() -> str:
-    """Resolve the bit-source default (see ENGINE_IMPL comment above)."""
-    if ENGINE_IMPL:
-        return ENGINE_IMPL
+    """Resolve the bit-source default (see comment above).
+
+    MCGP_RNG_IMPL is read at call time, not import time, so setting the
+    env var after the package is imported still takes effect.
+    """
+    impl = os.environ.get("MCGP_RNG_IMPL")
+    if impl:
+        return impl
     return "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
 
 # Stream ids — one per independent random decision in the event model.

@@ -91,6 +91,7 @@ def test_main_cli_safe_fallback(tmp_path):
     assert "Error: No practice data available" in out2.stdout
 
 
+@pytest.mark.slow
 def test_main_cli_requires_race(tmp_path):
     out = run_cli(["main.py", "--synthetic"], tmp_path, timeout=120)
     assert out.returncode != 0

@@ -26,9 +26,10 @@ def test_default_impl_resolution(monkeypatch):
     the same stability semantics, so the platform-aware default keeps the
     two engines' contracts aligned (ops/rng.py module comment)."""
     assert jax.default_backend() == "cpu"
-    monkeypatch.setattr(rng, "ENGINE_IMPL", None)
+    monkeypatch.delenv("MCGP_RNG_IMPL", raising=False)
     assert rng.default_impl() == "threefry2x32"
-    monkeypatch.setattr(rng, "ENGINE_IMPL", "rbg")
+    # Read at call time: a post-import env change takes effect immediately.
+    monkeypatch.setenv("MCGP_RNG_IMPL", "rbg")
     assert rng.default_impl() == "rbg"
 
 
