@@ -1,0 +1,216 @@
+"""Prediction serving: a warm, plan-cached wrapper around `F1Predictor`.
+
+The reference's only entry points are one-shot CLIs (`main.py:7`,
+`backtest.py:8`): every prediction pays the full pipeline — data load, Elo
+build, feature engineering, engine compile — from a cold process. This
+module is the framework's production-serving subsystem (additive; no
+reference analogue): a resident `PredictionService` keeps the predictor,
+its compiled engine programs, and prepared `WeekendPlan`s warm, so a
+repeat prediction request costs only the Monte Carlo itself (milliseconds
+on TPU) plus result assembly, instead of minutes of host prep and compile.
+
+Design notes (TPU-first):
+ - Compilation is keyed to (n_simulations, lap bucket, tile/block): the
+   service normalizes requests to a fixed default simulation count unless
+   the caller overrides it, so steady-state traffic reuses ONE compiled
+   program per lap bucket. `warmup()` pre-trips that compile before the
+   first request.
+ - Weekend plans are host-side (pandas/feature work); they are cached per
+   (season, race, prediction_point). Requests carrying grid penalties or
+   an actual grid change the plan, so those bypass the cache.
+ - Device access is serialized by a lock: JAX dispatch from multiple
+   threads interleaves safely but brings no throughput (one chip), so the
+   HTTP front-end (repo-root `serve.py`) stays single-threaded and the
+   lock is a guard, not a scheduler.
+
+The HTTP front-end lives at the repo root (`serve.py`) to mirror the
+`main.py` / `backtest.py` entry-point layout.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from monte_carlo_gp_tpu.models.safety import (
+    InsufficientDataError,
+    generate_fallback_predictions,
+)
+from monte_carlo_gp_tpu.utils.logging import get_logger, log_event
+
+__all__ = ["PredictionService", "ServeError"]
+
+_VALID_POINTS = ("fp1", "fp2", "fp3", "quali", "sprint")
+
+
+class ServeError(ValueError):
+    """A request the service rejects (maps to HTTP 400)."""
+
+
+class PredictionService:
+    """Resident predictor + plan cache + request entry point.
+
+    `predict(request)` returns `(status, payload)` where `status` is an
+    HTTP status code and `payload` a JSON-serializable dict — transport-
+    agnostic so it can sit behind HTTP, a queue, or tests directly.
+    """
+
+    def __init__(
+        self,
+        predictor,
+        default_simulations: int = 10_000,
+        safe: bool = True,
+        max_simulations: int = 4_194_304,
+    ):
+        self.predictor = predictor
+        self.default_simulations = int(default_simulations)
+        self.max_simulations = int(max_simulations)
+        self.safe = safe
+        self._plans: dict[tuple, object] = {}
+        self._lock = threading.Lock()
+        self.stats = {
+            "requests": 0,
+            "ok": 0,
+            "fallbacks": 0,
+            "rejected": 0,
+            "errors": 0,
+            "plan_cache_hits": 0,
+            "plan_cache_misses": 0,
+        }
+
+    # -- plan cache -----------------------------------------------------------
+
+    def plan_for(self, season: int, race: str, prediction_point: str):
+        """Prepared weekend for a bare request, cached per (season, race,
+        point). Raises InsufficientDataError when the data layer is empty."""
+        key = (season, race, prediction_point)
+        plan = self._plans.get(key)
+        if plan is not None:
+            self.stats["plan_cache_hits"] += 1
+            return plan
+        self.stats["plan_cache_misses"] += 1
+        plan = self.predictor.prepare_weekend(
+            season, race, prediction_point=prediction_point
+        )
+        self._plans[key] = plan
+        return plan
+
+    def warmup(self, season: int, race: str, prediction_point: str = "fp2"):
+        """Pre-trip the pipeline AND the engine compile for one weekend so
+        the first real request is warm. Returns the warmup wall-clock.
+
+        Uses the service's default simulation count — the compile is keyed
+        to it, so warming a different count would not help steady traffic.
+        """
+        t0 = time.perf_counter()
+        plan = self.plan_for(season, race, prediction_point)
+        self.predictor.simulate_plan(plan, self.default_simulations, seed=0)
+        dt = time.perf_counter() - t0
+        log_event(
+            "serve_warmup", season=season, race=race,
+            prediction_point=prediction_point, seconds=round(dt, 3),
+        )
+        return dt
+
+    # -- request entry point ----------------------------------------------------
+
+    def predict(self, request: dict) -> tuple[int, dict]:
+        """Handle one prediction request.
+
+        Request fields: season (int, required), race (str, required),
+        prediction_point (default 'fp2'), n_simulations (default the
+        service's), seed (default 0), grid_penalties / actual_grid
+        (optional dicts; bypass the plan cache).
+        """
+        self.stats["requests"] += 1
+        t0 = time.perf_counter()
+        try:
+            season, race, point, n_sims, seed, penalties, actual_grid = (
+                self._validate(request)
+            )
+        except ServeError as e:
+            self.stats["rejected"] += 1
+            return 400, {"error": str(e)}
+
+        try:
+            with self._lock:
+                if penalties or actual_grid:
+                    plan = self.predictor.prepare_weekend(
+                        season, race,
+                        grid_penalties=penalties,
+                        prediction_point=point,
+                        actual_grid=actual_grid,
+                    )
+                else:
+                    plan = self.plan_for(season, race, point)
+                probs = self.predictor.simulate_plan(plan, n_sims, seed=seed)
+                result = self.predictor.assemble_result(plan, probs)
+            self.stats["ok"] += 1
+        except InsufficientDataError as e:
+            if not self.safe:
+                self.stats["rejected"] += 1
+                return 422, {"error": str(e)}
+            # Same degrade contract as safety.safe_predict.
+            get_logger().warning("%s, using fallback predictions", e)
+            log_event(
+                "prediction_fallback", season=season, race=race, reason=str(e)
+            )
+            result = generate_fallback_predictions(season, race, point)
+            self.stats["fallbacks"] += 1
+        except Exception as e:  # noqa: BLE001 — a request must never kill the server
+            self.stats["errors"] += 1
+            get_logger().error("Error predicting %s: %s", race, e)
+            log_event("prediction_error", season=season, race=race, reason=str(e))
+            return 500, {"error": f"{type(e).__name__}: {e}"}
+
+        dt = time.perf_counter() - t0
+        result["server"] = {
+            "latency_s": round(dt, 4),
+            "n_simulations": n_sims,
+            "seed": seed,
+            "season": season,
+            "race": race,
+        }
+        log_event(
+            "serve_request", season=season, race=race, prediction_point=point,
+            n_simulations=n_sims, seed=seed, latency_s=round(dt, 4),
+            fallback=bool(result.get("fallback")),
+        )
+        return 200, result
+
+    # -- validation ---------------------------------------------------------------
+
+    def _validate(self, request: dict):
+        if not isinstance(request, dict):
+            raise ServeError("request body must be a JSON object")
+        try:
+            season = int(request["season"])
+            race = str(request["race"])
+        except (KeyError, TypeError, ValueError):
+            raise ServeError("request requires integer 'season' and string 'race'")
+        point = request.get("prediction_point", "fp2")
+        if point not in _VALID_POINTS:
+            raise ServeError(
+                f"prediction_point must be one of {list(_VALID_POINTS)}"
+            )
+        try:
+            n_sims = int(request.get("n_simulations", self.default_simulations))
+            seed = int(request.get("seed", 0))
+        except (TypeError, ValueError):
+            raise ServeError("'n_simulations' and 'seed' must be integers")
+        if not (0 < n_sims <= self.max_simulations):
+            raise ServeError(
+                f"n_simulations must be in (0, {self.max_simulations}]"
+            )
+        penalties = request.get("grid_penalties") or None
+        actual_grid = request.get("actual_grid") or None
+        if penalties is not None and not isinstance(penalties, dict):
+            raise ServeError("'grid_penalties' must be an object")
+        if actual_grid is not None:
+            if not isinstance(actual_grid, dict):
+                raise ServeError("'actual_grid' must be an object")
+            try:
+                actual_grid = {str(d): int(p) for d, p in actual_grid.items()}
+            except (TypeError, ValueError):
+                raise ServeError("'actual_grid' values must be integers")
+        return season, race, point, n_sims, seed, penalties, actual_grid

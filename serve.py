@@ -1,0 +1,172 @@
+"""F1 prediction server: a resident HTTP front-end over PredictionService.
+
+The reference ships only one-shot CLIs (reference main.py:7, backtest.py:8)
+— every prediction pays data load + Elo build + features + engine compile
+from a cold process. This server is the framework's production-serving
+entry point: the predictor and its compiled engine programs stay warm, so
+steady-state request latency is Monte-Carlo-only.
+
+    python serve.py --synthetic --port 8000 --simulations 10000 \
+        --warm 2024:Bahrain
+    curl -s localhost:8000/healthz
+    curl -s -X POST localhost:8000/predict \
+        -d '{"season": 2024, "race": "Bahrain", "seed": 7}'
+
+Endpoints:
+    GET  /healthz   liveness + backend platform
+    GET  /stats     request counters (ok / fallbacks / rejected / errors,
+                    plan-cache hits/misses)
+    POST /predict   JSON request -> the predict_weekend result dict plus a
+                    "server" metadata block; same seed => same probabilities
+                    (the engine's bitwise reproducibility contract).
+
+The HTTP layer is deliberately single-threaded: one chip serializes the
+Monte Carlo anyway, and the service's own lock guards device access if a
+threaded server is ever swapped in. JSON note: full_distributions'
+integer position keys serialize as strings (JSON object keys).
+"""
+
+import argparse
+import json
+import signal
+import sys
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+
+def build_predictor(args):
+    from monte_carlo_gp_tpu.models.predictor import F1Predictor
+    from monte_carlo_gp_tpu.utils.jax_setup import (
+        enable_persistent_compilation_cache,
+        honor_platform_env,
+    )
+
+    honor_platform_env()
+    enable_persistent_compilation_cache(args.cache_dir)
+    backend = None
+    if args.synthetic:
+        from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
+
+        backend = SyntheticBackend(seed=args.synthetic_seed)
+    return F1Predictor(
+        cache_dir=args.cache_dir,
+        offline=args.offline,
+        backend=backend,
+        external_elo_cache=args.elo_cache,
+        use_elo_cache=args.use_elo_cache or args.offline,
+        engine=args.engine,
+        rookie_prior=args.rookie_prior,
+    )
+
+
+def make_handler(service):
+    class Handler(BaseHTTPRequestHandler):
+        # Access logs go through the structured logger, not stderr noise.
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _reply(self, status: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path == "/healthz":
+                import jax
+
+                self._reply(200, {
+                    "status": "ok",
+                    "platform": jax.default_backend(),
+                    "requests": service.stats["requests"],
+                })
+            elif self.path == "/stats":
+                self._reply(200, dict(service.stats))
+            else:
+                self._reply(404, {"error": f"no such endpoint: {self.path}"})
+
+        def do_POST(self):  # noqa: N802 (http.server API)
+            if self.path != "/predict":
+                self._reply(404, {"error": f"no such endpoint: {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                request = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"invalid JSON body: {e}"})
+                return
+            status, payload = service.predict(request)
+            self._reply(status, payload)
+
+    return Handler
+
+
+def main():
+    parser = argparse.ArgumentParser(description="F1 Prediction Server")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument(
+        "--port", type=int, default=8000,
+        help="TCP port (0 picks a free port; the chosen one is printed)",
+    )
+    parser.add_argument(
+        "--simulations", type=int, default=10000,
+        help="Default Monte Carlo count per request (requests may override; "
+             "each distinct count compiles its own engine program)",
+    )
+    parser.add_argument(
+        "--warm", type=str, nargs="*", default=[], metavar="SEASON:RACE[:POINT]",
+        help="Weekends to prepare + compile before serving "
+             "(e.g. 2024:Bahrain 2024:Monaco:quali)",
+    )
+    parser.add_argument(
+        "--no-safe", action="store_true",
+        help="Return 422 on weekends with no usable data instead of "
+             "degrading to uniform fallback predictions",
+    )
+    parser.add_argument("--offline", action="store_true",
+                        help="Serve everything from the local cache")
+    parser.add_argument("--cache-dir", type=str, default="./cache")
+    parser.add_argument("--elo-cache", type=str, default=None)
+    parser.add_argument("--use-elo-cache", action="store_true")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="Deterministic synthetic data backend (demo)")
+    parser.add_argument("--synthetic-seed", type=int, default=2718)
+    parser.add_argument("--engine", choices=["auto", "xla", "pallas"],
+                        default="auto")
+    parser.add_argument("--rookie-prior", action="store_true")
+    args = parser.parse_args()
+
+    from monte_carlo_gp_tpu.serve import PredictionService
+
+    predictor = build_predictor(args)
+    service = PredictionService(
+        predictor,
+        default_simulations=args.simulations,
+        safe=not args.no_safe,
+    )
+
+    for spec in args.warm:
+        parts = spec.split(":")
+        if len(parts) not in (2, 3):
+            parser.error(f"--warm expects SEASON:RACE[:POINT], got {spec!r}")
+        season, race = int(parts[0]), parts[1]
+        point = parts[2] if len(parts) == 3 else "fp2"
+        dt = service.warmup(season, race, point)
+        print(f"warm {season} {race} ({point}): {dt:.1f}s", flush=True)
+
+    server = HTTPServer((args.host, args.port), make_handler(service))
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+    host, port = server.server_address[:2]
+    # Parseable readiness line (tests and orchestrators wait for it).
+    print(f"Serving on http://{host}:{port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

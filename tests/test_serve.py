@@ -1,0 +1,201 @@
+"""Serving layer: PredictionService unit tests + an HTTP end-to-end
+subprocess test (serve.py). The reference has no serving surface (its only
+entry points are the one-shot CLIs, reference main.py:7 / backtest.py:8);
+the contract tested here is the framework's own: same request + same seed
+=> byte-identical probabilities, warm plans served from cache, graceful
+degradation on empty-data weekends."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
+from monte_carlo_gp_tpu.models.predictor import F1Predictor
+from monte_carlo_gp_tpu.serve import PredictionService
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    predictor = F1Predictor(
+        cache_dir=tmp_path_factory.mktemp("serve_cache"),
+        backend=SyntheticBackend(seed=5, n_events=3),
+    )
+    return PredictionService(predictor, default_simulations=512)
+
+
+def test_service_matches_predict_weekend(service, tmp_path):
+    status, payload = service.predict(
+        {"season": 2024, "race": "Bahrain", "seed": 11, "n_simulations": 512}
+    )
+    assert status == 200
+    # A fresh predictor over the same synthetic world, driven through the
+    # one-shot API, must produce byte-identical probabilities.
+    direct = F1Predictor(
+        cache_dir=tmp_path, backend=SyntheticBackend(seed=5, n_events=3)
+    ).predict_weekend(2024, "Bahrain", n_simulations=512, seed=11)
+    assert payload["win_probabilities"] == direct["win_probabilities"]
+    assert payload["full_distributions"] == direct["full_distributions"]
+    assert payload["pole_probabilities"] == direct["pole_probabilities"]
+    assert payload["server"]["n_simulations"] == 512
+    assert payload["server"]["latency_s"] >= 0
+
+
+def test_plan_cache_and_determinism(service):
+    before = dict(service.stats)
+    s1, p1 = service.predict({"season": 2024, "race": "Bahrain", "seed": 3})
+    s2, p2 = service.predict({"season": 2024, "race": "Bahrain", "seed": 3})
+    assert s1 == s2 == 200
+    # Same seed => identical result; the repeat request hits the plan cache.
+    assert p1["full_distributions"] == p2["full_distributions"]
+    assert service.stats["plan_cache_hits"] >= before["plan_cache_hits"] + 1
+    # Different seed => a different draw (almost surely).
+    _, p3 = service.predict({"season": 2024, "race": "Bahrain", "seed": 4})
+    assert p3["full_distributions"] != p1["full_distributions"]
+
+
+def test_penalties_bypass_plan_cache(service):
+    misses_before = service.stats["plan_cache_misses"]
+    hits_before = service.stats["plan_cache_hits"]
+    status, payload = service.predict({
+        "season": 2024, "race": "Bahrain", "seed": 3,
+        "grid_penalties": {"VER": 5},
+    })
+    assert status == 200
+    # A penalty request prepares its own plan: no cache traffic either way.
+    assert service.stats["plan_cache_misses"] == misses_before
+    assert service.stats["plan_cache_hits"] == hits_before
+    assert abs(sum(payload["win_probabilities"].values()) - 1.0) < 1e-3
+
+
+def test_request_validation(service):
+    for bad in (
+        {},                                           # missing season/race
+        {"season": "x", "race": "Bahrain"},           # non-int season
+        {"season": 2024, "race": "Bahrain", "prediction_point": "fp9"},
+        {"season": 2024, "race": "Bahrain", "n_simulations": 0},
+        {"season": 2024, "race": "Bahrain", "n_simulations": "many"},
+        {"season": 2024, "race": "Bahrain", "actual_grid": {"VER": "P1"}},
+        {"season": 2024, "race": "Bahrain", "grid_penalties": [5]},
+    ):
+        status, payload = service.predict(bad)
+        assert status == 400, bad
+        assert "error" in payload
+    assert service.stats["rejected"] >= 7
+
+
+def test_fallback_and_strict_modes(tmp_path):
+    # An offline predictor over an empty cache has no data for any weekend.
+    predictor = F1Predictor(cache_dir=tmp_path / "empty", offline=True)
+    safe = PredictionService(predictor, default_simulations=64, safe=True)
+    status, payload = safe.predict({"season": 2024, "race": "Bahrain"})
+    assert status == 200
+    assert payload["fallback"] is True
+    assert payload["confidence"] == "none"
+    assert abs(sum(payload["win_probabilities"].values()) - 1.0) < 1e-6
+    assert safe.stats["fallbacks"] == 1
+
+    strict = PredictionService(predictor, default_simulations=64, safe=False)
+    status, payload = strict.predict({"season": 2024, "race": "Bahrain"})
+    assert status == 422
+    assert "No practice data" in payload["error"]
+
+
+def test_warmup_prepares_and_compiles(service):
+    dt = service.warmup(2024, "Bahrain")
+    assert dt >= 0
+    # The warmed plan is the cached one.
+    hits = service.stats["plan_cache_hits"]
+    service.predict({"season": 2024, "race": "Bahrain"})
+    assert service.stats["plan_cache_hits"] == hits + 1
+
+
+# -- HTTP end-to-end ------------------------------------------------------------
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",
+    "JAX_PLATFORM_NAME": "cpu",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+}
+
+
+def _post(url, body, timeout=120):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url, timeout=60):
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.mark.slow
+def test_serve_http_end_to_end(tmp_path):
+    proc = subprocess.Popen(
+        [sys.executable, "serve.py", "--synthetic", "--port", "0",
+         "--simulations", "256", "--engine", "xla",
+         "--cache-dir", str(tmp_path / "cache"), "--warm", "2024:Bahrain"],
+        cwd=REPO, env=ENV, text=True, bufsize=1,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    try:
+        # Wait for the parseable readiness line (warmup compiles first).
+        base, deadline = None, time.time() + 300
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line and proc.poll() is not None:
+                pytest.fail(f"server died: {proc.stderr.read()[-2000:]}")
+            if line.startswith("Serving on "):
+                base = line.split("Serving on ", 1)[1].strip()
+                break
+        assert base, "server never printed its readiness line"
+
+        status, health = _get(f"{base}/healthz")
+        assert status == 200 and health["status"] == "ok"
+        assert health["platform"] == "cpu"
+
+        body = {"season": 2024, "race": "Bahrain", "seed": 7}
+        s1, r1 = _post(f"{base}/predict", body)
+        assert s1 == 200, r1
+        assert abs(sum(r1["win_probabilities"].values()) - 1.0) < 1e-3
+        assert r1["server"]["n_simulations"] == 256  # server default applied
+
+        # Bitwise reproducibility across requests at the same seed.
+        s2, r2 = _post(f"{base}/predict", body)
+        assert s2 == 200 and r2["full_distributions"] == r1["full_distributions"]
+
+        status, err = _post(f"{base}/predict", {"race": "Bahrain"})
+        assert status == 400 and "season" in err["error"]
+
+        status, stats = _get(f"{base}/stats")
+        assert status == 200
+        assert stats["ok"] >= 2 and stats["rejected"] >= 1
+        assert stats["plan_cache_hits"] >= 2  # warmed plan served both hits
+
+        status, _ = _get(f"{base}/nope")
+        assert status == 404
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
