@@ -7,6 +7,7 @@ cache built with `python main.py --build-cache --seasons ...`.
     python examples/weekend_walkthrough.py
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -30,12 +31,15 @@ def top3(probs: dict) -> str:
 
 
 def main():
+    # Smaller counts (e.g. MCGP_EXAMPLE_SIMS=1024) keep the walkthrough
+    # quick on CPU; the default is the reference's 10k order of magnitude.
+    n_sims = int(os.environ.get("MCGP_EXAMPLE_SIMS", "20000"))
     backend = SyntheticBackend(seed=2718, n_events=6)
     predictor = F1Predictor(cache_dir="./cache/example", backend=backend)
 
     # 1. Basic weekend prediction from FP2 (the reference's default flow).
     print("=== FP2 prediction, Bahrain ===")
-    r = predictor.predict_weekend(2024, "Bahrain", n_simulations=20_000, seed=1)
+    r = predictor.predict_weekend(2024, "Bahrain", n_simulations=n_sims, seed=1)
     print("win:", top3(r["win_probabilities"]))
     print("podium:", top3(r["podium_probabilities"]))
 
@@ -44,7 +48,7 @@ def main():
     print(f"\n=== same weekend, {likely_pole} takes an engine penalty ===")
     pen = predictor.predict_weekend(
         2024, "Bahrain", grid_penalties={likely_pole: "engine"},
-        n_simulations=20_000, seed=1,
+        n_simulations=n_sims, seed=1,
     )
     print("win:", top3(pen["win_probabilities"]))
 
@@ -54,7 +58,7 @@ def main():
     print("\n=== post-quali (actual grid) ===")
     post = predictor.predict_weekend(
         2024, "Bahrain", prediction_point="quali", actual_grid=grid,
-        n_simulations=20_000, seed=1,
+        n_simulations=n_sims, seed=1,
     )
     print("confidence:", post["confidence"], "| win:", top3(post["win_probabilities"]))
 
@@ -66,7 +70,7 @@ def main():
         [p.params for p in plans],
         [p.total_laps for p in plans],
         jax.random.PRNGKey(7),
-        n_sims=8192,
+        n_sims=min(8192, n_sims),
     )
     for race, plan, p in zip(races, plans, probs):
         result = predictor.assemble_result(plan, p[: len(plan.drivers), : len(plan.drivers)])

@@ -268,90 +268,18 @@ def backtest_model_batched(
     predictions, actuals = [], []
     for season in seasons:
         predictor = predictor_factory()
-        loader = predictor.data_loader
-        plans, acts = [], []
-        cutoffs = _race_cutoffs(loader, season)
-        for race_idx, race in enumerate(get_races(loader, season)):
-            try:
-                _pin(loader, cutoffs, race_idx, pin_clock)
-                plan = predictor.prepare_weekend(season, race)
-                act = get_actual_results(loader, season, race)
-                plans.append(plan)
-                acts.append(act)
-                _apply_actual_elo(predictor, act, reference_compat_elo_noop)
-            except Exception as e:  # noqa: BLE001
-                log_event("backtest_skip", season=season, race=race, error=str(e))
-                if verbose:
-                    print(f"Skipping {season} {race}: {e}")
+        plans, acts = prepare_season_plans(
+            predictor, season,
+            reference_compat_elo_noop=reference_compat_elo_noop,
+            pin_clock=pin_clock, verbose=verbose,
+        )
         if not plans:
             continue
-        if engine == "pallas" and max(p.params.n_drivers for p in plans) <= 64:
-            # Flagship-kernel season: ONE race-batched Pallas launch whose
-            # flat tile grid spans every race (driver axis padded to the
-            # widest field, per-race lap counts masking a shared compile
-            # bucket), sharded over all chips when more than one is
-            # present. Removes the per-race host sync + launch overhead of
-            # the old per-race loop and keeps per-chip throughput at the
-            # single-race kernel's rate (measured in PARITY.md).
-            import numpy as _np
-
-            from monte_carlo_gp_tpu.models.predictor import _lap_bucket
-            from monte_carlo_gp_tpu.ops.pallas_engine import (
-                DEFAULT_SIMS_PER_TILE,
-                run_monte_carlo_pallas_season,
-            )
-
-            tile = min(DEFAULT_SIMS_PER_TILE, int(n_simulations))
-            n_eff = -(-int(n_simulations) // tile) * tile
-            bucket = max(_lap_bucket(p.total_laps) for p in plans)
-            # Honor an explicitly passed mesh (sub-mesh device selection);
-            # default to all devices only when none was given.
-            pmesh = mesh
-            if pmesh is None and len(jax.devices()) > 1:
-                from monte_carlo_gp_tpu.parallel.mesh import make_mesh
-
-                pmesh = make_mesh({"sims": len(jax.devices())})
-            season_probs = _np.asarray(
-                run_monte_carlo_pallas_season(
-                    [p.params for p in plans],
-                    [p.total_laps for p in plans],
-                    jax.random.PRNGKey(seed * 1_000_003 + season),
-                    n_eff,
-                    total_laps=bucket,
-                    sims_per_tile=tile,
-                    mesh=pmesh,
-                )
-            )
-            predictor.last_effective_sims = n_eff
-            probs = list(season_probs)
-        elif engine == "pallas":
-            # >64-driver fields exceed the fused kernel's rank-key packing:
-            # per-race simulate_plan falls back to the XLA engine per race.
-            # Per-race keys come from the SAME fold_in chain as the season
-            # launch (race r of season key fold_in(r)), so the seeding
-            # contract does not depend on which path the field size takes.
-            season_key = jax.random.PRNGKey(seed * 1_000_003 + season)
-            probs = [
-                predictor.simulate_plan(
-                    plan, n_simulations, engine="pallas",
-                    key=jax.random.fold_in(season_key, r),
-                )
-                for r, plan in enumerate(plans)
-            ]
-        else:
-            from monte_carlo_gp_tpu.parallel.sharded import simulate_season_sharded
-
-            probs = simulate_season_sharded(
-                [p.params for p in plans],
-                [p.total_laps for p in plans],
-                jax.random.PRNGKey(seed * 1_000_003 + season),
-                n_sims=n_simulations,
-                mesh=mesh,
-            )
-        if engine != "pallas":
-            # the sharded season path bypasses simulate_plan, so record the
-            # effective count explicitly for assemble_result's result field
-            predictor.last_effective_sims = n_simulations
+        season_key = jax.random.PRNGKey(seed * 1_000_003 + season)
+        probs = simulate_season_plans(
+            predictor, plans, season_key, n_simulations,
+            engine=engine, mesh=mesh,
+        )
         for plan, act, p in zip(plans, acts, probs):
             d = len(plan.drivers)
             pred = predictor.assemble_result(plan, p[:d, :d])
@@ -377,6 +305,131 @@ def backtest_model_batched(
         "calibration_curve": calibration_analysis(predictions, actuals),
         "n_races": len(predictions),
     }
+
+
+def prepare_season_plans(
+    predictor,
+    season: int,
+    reference_compat_elo_noop: bool = False,
+    pin_clock: bool = True,
+    verbose: bool = True,
+) -> tuple[list, list[dict]]:
+    """Walk-forward host preparation for one season: per race (clock pinned
+    to its date), prepare the weekend plan, fetch the actual results, and
+    apply the actual-result Elo updates — the leakage-correct prep both the
+    batched backtest and the parameter sweep (`validate/tune.py`) run before
+    any device work. Returns ([WeekendPlan], [actuals dict])."""
+    loader = predictor.data_loader
+    plans, acts = [], []
+    cutoffs = _race_cutoffs(loader, season)
+    for race_idx, race in enumerate(get_races(loader, season)):
+        try:
+            _pin(loader, cutoffs, race_idx, pin_clock)
+            plan = predictor.prepare_weekend(season, race)
+            act = get_actual_results(loader, season, race)
+            plans.append(plan)
+            acts.append(act)
+            _apply_actual_elo(predictor, act, reference_compat_elo_noop)
+        except Exception as e:  # noqa: BLE001
+            log_event("backtest_skip", season=season, race=race, error=str(e))
+            if verbose:
+                print(f"Skipping {season} {race}: {e}")
+    return plans, acts
+
+
+def simulate_season_plans(
+    predictor,
+    plans: list,
+    season_key,
+    n_simulations: int,
+    engine: str = "xla",
+    mesh=None,
+    params_list: list | None = None,
+) -> list:
+    """Simulate a season's prepared plans as one device batch -> list of
+    (D, D) finish-probability arrays (one per plan, D = that plan's padded
+    field width or wider).
+
+    Race r uses fold_in(season_key, r) on EVERY path (one-launch Pallas
+    season, >64-driver per-race Pallas fallback, sharded XLA season), so
+    results are bitwise independent of the path and of how many plans share
+    the batch. `params_list` optionally overrides each plan's SimParams
+    (same order/length as `plans`) — the parameter-sweep hook: overridden
+    pytrees keep the plan's structure, so every sweep config reuses the
+    first config's compiled program.
+    """
+    import jax
+
+    if params_list is None:
+        params_list = [p.params for p in plans]
+    if engine == "pallas" and max(p.n_drivers for p in params_list) <= 64:
+        # Flagship-kernel season: ONE race-batched Pallas launch whose
+        # flat tile grid spans every race (driver axis padded to the
+        # widest field, per-race lap counts masking a shared compile
+        # bucket), sharded over all chips when more than one is
+        # present. Removes the per-race host sync + launch overhead of
+        # the old per-race loop and keeps per-chip throughput at the
+        # single-race kernel's rate (measured in PARITY.md).
+        import numpy as _np
+
+        from monte_carlo_gp_tpu.models.predictor import _lap_bucket
+        from monte_carlo_gp_tpu.ops.pallas_engine import (
+            DEFAULT_SIMS_PER_TILE,
+            run_monte_carlo_pallas_season,
+        )
+
+        tile = min(DEFAULT_SIMS_PER_TILE, int(n_simulations))
+        n_eff = -(-int(n_simulations) // tile) * tile
+        bucket = max(_lap_bucket(p.total_laps) for p in plans)
+        # Honor an explicitly passed mesh (sub-mesh device selection);
+        # default to all devices only when none was given.
+        pmesh = mesh
+        if pmesh is None and len(jax.devices()) > 1:
+            from monte_carlo_gp_tpu.parallel.mesh import make_mesh
+
+            pmesh = make_mesh({"sims": len(jax.devices())})
+        season_probs = _np.asarray(
+            run_monte_carlo_pallas_season(
+                params_list,
+                [p.total_laps for p in plans],
+                season_key,
+                n_eff,
+                total_laps=bucket,
+                sims_per_tile=tile,
+                mesh=pmesh,
+            )
+        )
+        predictor.last_effective_sims = n_eff
+        probs = list(season_probs)
+    elif engine == "pallas":
+        # >64-driver fields exceed the fused kernel's rank-key packing:
+        # per-race simulate_plan falls back to the XLA engine per race.
+        # Per-race keys come from the SAME fold_in chain as the season
+        # launch (race r of season key fold_in(r)), so the seeding
+        # contract does not depend on which path the field size takes.
+        import dataclasses as _dc
+
+        probs = [
+            predictor.simulate_plan(
+                _dc.replace(plan, params=prm), n_simulations, engine="pallas",
+                key=jax.random.fold_in(season_key, r),
+            )
+            for r, (plan, prm) in enumerate(zip(plans, params_list))
+        ]
+    else:
+        from monte_carlo_gp_tpu.parallel.sharded import simulate_season_sharded
+
+        probs = simulate_season_sharded(
+            params_list,
+            [p.total_laps for p in plans],
+            season_key,
+            n_sims=n_simulations,
+            mesh=mesh,
+        )
+        # the sharded season path bypasses simulate_plan, so record the
+        # effective count explicitly for assemble_result's result field
+        predictor.last_effective_sims = n_simulations
+    return probs
 
 
 def _apply_actual_elo(predictor, act: dict, compat_noop: bool) -> None:

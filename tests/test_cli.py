@@ -224,3 +224,23 @@ def test_main_cli_network_stub_build_cache_then_offline(tmp_path):
     assert call_log.read_text() == calls_before_offline
     # and the offline prediction reproduces the online one exactly
     assert offline.stdout == online.stdout
+
+
+@pytest.mark.slow
+def test_examples_walkthrough_runs(tmp_path):
+    """The shipped worked example (examples/weekend_walkthrough.py) runs
+    end-to-end on the synthetic world — docs that execute stay true."""
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "weekend_walkthrough.py")],
+        cwd=tmp_path,  # the example writes ./cache/example relative to cwd
+        env={**ENV, "MCGP_EXAMPLE_SIMS": "512"},  # CPU-sized Monte Carlo
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "FP2 prediction" in out.stdout
+    assert "post-quali (actual grid)" in out.stdout
+    assert "season batch" in out.stdout
+    # the season loop printed a prediction line per race
+    assert out.stdout.count("predicted") >= 3
