@@ -57,6 +57,12 @@ def main():
         help="Seed unrated (rookie) drivers from a teammate-average Elo "
              "prior instead of the flat initial rating (plan.md:2762-2783)",
     )
+    parser.add_argument(
+        "--quali-model", choices=["elo", "bayesian"], default="elo",
+        help="Qualifying model (see main.py). NOTE: bayesian refits per "
+             "race under the walk-forward clock (leakage-safe, but each "
+             "race pays an HMC fit)",
+    )
     args = parser.parse_args()
 
     from monte_carlo_gp_tpu.models.predictor import F1Predictor
@@ -82,6 +88,7 @@ def main():
         return F1Predictor(
             cache_dir=args.cache_dir, offline=args.offline, backend=backend,
             engine=args.engine, rookie_prior=args.rookie_prior,
+            quali_model=args.quali_model,
         )
 
     print(f"\n{'='*60}")

@@ -35,6 +35,7 @@ def build_predictor(args):
         use_elo_cache=args.use_elo_cache or args.offline,
         engine=args.engine,
         rookie_prior=args.rookie_prior,
+        quali_model=args.quali_model,
     )
 
 
@@ -85,6 +86,13 @@ def main():
     parser.add_argument(
         "--engine", choices=["auto", "xla", "pallas"], default="auto",
         help="Simulation backend: fused Pallas kernel (TPU) or XLA lap-scan",
+    )
+    parser.add_argument(
+        "--quali-model", choices=["elo", "bayesian"], default="elo",
+        help="Qualifying model: the reference's Elo+feature path (default) "
+             "or the design doc's hierarchical Bayesian model fitted on the "
+             "Q-lap archive (pure-JAX HMC; falls back to elo when the "
+             "archive is empty)",
     )
     parser.add_argument(
         "--rookie-prior", action="store_true",

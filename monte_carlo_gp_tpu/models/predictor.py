@@ -144,6 +144,7 @@ class F1Predictor:
         sims_per_block: int | None = None,
         engine: str = "xla",
         rookie_prior: bool = False,
+        quali_model: str = "elo",
     ):
         self.data_loader = F1DataLoader(
             cache_dir=cache_dir, offline=offline, backend=backend, now=now
@@ -159,6 +160,12 @@ class F1Predictor:
         self._sims_per_block = sims_per_block
         self._engine = resolve_engine(engine)
         self._rookie_prior = rookie_prior
+        if quali_model not in ("elo", "bayesian"):
+            raise ValueError(
+                f"unknown quali_model {quali_model!r} (use 'elo' or 'bayesian')"
+            )
+        self._quali_model = quali_model
+        self._bayes_model = None  # built lazily on first bayesian prediction
         if use_elo_cache:
             loaded = load_with_priority(external_elo_cache, self._elo_cache_path)
             if loaded is not None:
@@ -308,11 +315,15 @@ class F1Predictor:
             if grid_penalties:
                 quali_probs = self._adjust_for_penalties(quali_probs, grid_penalties)
         else:
-            quali_features = {
-                d: self.feature_engine.calculate_quali_features(d, race)
-                for d in drivers
-            }
-            quali_probs = self._predict_quali(drivers, quali_features)
+            quali_probs = None
+            if self._quali_model == "bayesian":
+                quali_probs = self._predict_quali_bayesian(drivers, race, season)
+            if quali_probs is None:
+                quali_features = {
+                    d: self.feature_engine.calculate_quali_features(d, race)
+                    for d in drivers
+                }
+                quali_probs = self._predict_quali(drivers, quali_features)
             if grid_penalties:
                 quali_probs = self._adjust_for_penalties(quali_probs, grid_penalties)
 
@@ -487,6 +498,42 @@ class F1Predictor:
         }
 
     # -- qualifying model (reference predictor.py:466-520) -----------------------
+
+    def _predict_quali_bayesian(
+        self, drivers: list[str], race: str, season: int
+    ) -> dict[str, list[float]] | None:
+        """Opt-in quali path: the design doc's hierarchical Bayesian model
+        (reference plan.md:1111-1175, never shipped there) fitted on the
+        historical Q-lap archive (models/bayesian.py). Returns None — and
+        logs why — when the archive can't support a fit, so prepare_weekend
+        falls back to the Elo path instead of failing the weekend.
+
+        Deterministic: the fit is cached per archive build (refit when the
+        walk-forward clock rebuilds the archive) with a fixed seed, and the
+        posterior-predictive grid noise is keyed on (season, race) via crc32,
+        not Python hash (PYTHONHASHSEED-proof)."""
+        laps = self.feature_engine.laps
+        if laps.empty:
+            log_event("bayes_quali_fallback", reason="empty_archive", race=race)
+            return None
+        if self._bayes_model is None:
+            from monte_carlo_gp_tpu.models.bayesian import BayesianQualiModel
+
+            self._bayes_model = BayesianQualiModel()
+        import zlib
+
+        noise_seed = zlib.crc32(f"{season}:{race}".encode())
+        try:
+            return self._bayes_model.predict(
+                laps,
+                drivers,
+                {d: cfg.DRIVER_TEAMS.get(d) for d in drivers},
+                circuit=race,
+                seed=noise_seed,
+            )
+        except ValueError as e:
+            log_event("bayes_quali_fallback", reason=str(e), race=race)
+            return None
 
     def _predict_quali(
         self, drivers: list[str], features: dict

@@ -55,6 +55,7 @@ def build_predictor(args):
         use_elo_cache=args.use_elo_cache or args.offline,
         engine=args.engine,
         rookie_prior=args.rookie_prior,
+        quali_model=args.quali_model,
     )
 
 
@@ -135,6 +136,8 @@ def main():
     parser.add_argument("--engine", choices=["auto", "xla", "pallas"],
                         default="auto")
     parser.add_argument("--rookie-prior", action="store_true")
+    parser.add_argument("--quali-model", choices=["elo", "bayesian"],
+                        default="elo")
     args = parser.parse_args()
 
     from monte_carlo_gp_tpu.serve import PredictionService
