@@ -58,10 +58,10 @@ def main():
              "prior instead of the flat initial rating (plan.md:2762-2783)",
     )
     parser.add_argument(
-        "--quali-model", choices=["elo", "bayesian"], default="elo",
-        help="Qualifying model (see main.py). NOTE: bayesian refits per "
+        "--quali-model", choices=["elo", "bayesian", "gbm"], default="elo",
+        help="Qualifying model (see main.py). NOTE: bayesian/gbm refit per "
              "race under the walk-forward clock (leakage-safe, but each "
-             "race pays an HMC fit)",
+             "race pays a model fit)",
     )
     args = parser.parse_args()
 

@@ -88,11 +88,11 @@ def main():
         help="Simulation backend: fused Pallas kernel (TPU) or XLA lap-scan",
     )
     parser.add_argument(
-        "--quali-model", choices=["elo", "bayesian"], default="elo",
-        help="Qualifying model: the reference's Elo+feature path (default) "
-             "or the design doc's hierarchical Bayesian model fitted on the "
-             "Q-lap archive (pure-JAX HMC; falls back to elo when the "
-             "archive is empty)",
+        "--quali-model", choices=["elo", "bayesian", "gbm"], default="elo",
+        help="Qualifying model: the reference's Elo+feature path (default), "
+             "the design doc's hierarchical Bayesian model (pure-JAX HMC) "
+             "or its gradient-boosting ranker (sklearn HGBR), both fitted "
+             "on the Q-lap archive (fall back to elo when it is empty)",
     )
     parser.add_argument(
         "--rookie-prior", action="store_true",

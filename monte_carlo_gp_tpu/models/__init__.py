@@ -8,6 +8,10 @@ from monte_carlo_gp_tpu.models.bayesian import (  # noqa: F401
     split_rhat,
 )
 from monte_carlo_gp_tpu.models.elo import EloParams, F1EloSystem  # noqa: F401
+from monte_carlo_gp_tpu.models.ml import (  # noqa: F401
+    GBMQualiModel,
+    build_training_frame,
+)
 from monte_carlo_gp_tpu.models.safety import (  # noqa: F401
     InsufficientDataError,
     PredictionError,

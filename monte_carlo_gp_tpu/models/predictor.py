@@ -160,12 +160,13 @@ class F1Predictor:
         self._sims_per_block = sims_per_block
         self._engine = resolve_engine(engine)
         self._rookie_prior = rookie_prior
-        if quali_model not in ("elo", "bayesian"):
+        if quali_model not in ("elo", "bayesian", "gbm"):
             raise ValueError(
-                f"unknown quali_model {quali_model!r} (use 'elo' or 'bayesian')"
+                f"unknown quali_model {quali_model!r} "
+                "(use 'elo', 'bayesian' or 'gbm')"
             )
         self._quali_model = quali_model
-        self._bayes_model = None  # built lazily on first bayesian prediction
+        self._bayes_model = None  # built lazily on first alt-model prediction
         if use_elo_cache:
             loaded = load_with_priority(external_elo_cache, self._elo_cache_path)
             if loaded is not None:
@@ -316,8 +317,8 @@ class F1Predictor:
                 quali_probs = self._adjust_for_penalties(quali_probs, grid_penalties)
         else:
             quali_probs = None
-            if self._quali_model == "bayesian":
-                quali_probs = self._predict_quali_bayesian(drivers, race, season)
+            if self._quali_model != "elo":
+                quali_probs = self._predict_quali_alt(drivers, race, season)
             if quali_probs is None:
                 quali_features = {
                     d: self.feature_engine.calculate_quali_features(d, race)
@@ -499,27 +500,39 @@ class F1Predictor:
 
     # -- qualifying model (reference predictor.py:466-520) -----------------------
 
-    def _predict_quali_bayesian(
+    def _predict_quali_alt(
         self, drivers: list[str], race: str, season: int
     ) -> dict[str, list[float]] | None:
-        """Opt-in quali path: the design doc's hierarchical Bayesian model
-        (reference plan.md:1111-1175, never shipped there) fitted on the
-        historical Q-lap archive (models/bayesian.py). Returns None — and
-        logs why — when the archive can't support a fit, so prepare_weekend
-        falls back to the Elo path instead of failing the weekend.
+        """Opt-in quali paths from the reference design doc (never shipped
+        there): the hierarchical Bayesian model ("Approach B",
+        plan.md:1111-1175 → models/bayesian.py) or the gradient-boosting
+        ranker ("Approach C", plan.md:1176-1213 → models/ml.py), both fitted
+        on the historical Q-lap archive. Returns None — and logs why — when
+        the archive can't support a fit, so prepare_weekend falls back to
+        the Elo path instead of failing the weekend.
 
         Deterministic: the fit is cached per archive build (refit when the
         walk-forward clock rebuilds the archive) with a fixed seed, and the
-        posterior-predictive grid noise is keyed on (season, race) via crc32,
-        not Python hash (PYTHONHASHSEED-proof)."""
+        predictive grid noise is keyed on (season, race) via crc32, not
+        Python hash (PYTHONHASHSEED-proof)."""
         laps = self.feature_engine.laps
         if laps.empty:
-            log_event("bayes_quali_fallback", reason="empty_archive", race=race)
+            log_event(
+                "alt_quali_fallback",
+                model=self._quali_model,
+                reason="empty_archive",
+                race=race,
+            )
             return None
         if self._bayes_model is None:
-            from monte_carlo_gp_tpu.models.bayesian import BayesianQualiModel
+            if self._quali_model == "bayesian":
+                from monte_carlo_gp_tpu.models.bayesian import BayesianQualiModel
 
-            self._bayes_model = BayesianQualiModel()
+                self._bayes_model = BayesianQualiModel()
+            else:
+                from monte_carlo_gp_tpu.models.ml import GBMQualiModel
+
+                self._bayes_model = GBMQualiModel()
         import zlib
 
         noise_seed = zlib.crc32(f"{season}:{race}".encode())
@@ -532,7 +545,12 @@ class F1Predictor:
                 seed=noise_seed,
             )
         except ValueError as e:
-            log_event("bayes_quali_fallback", reason=str(e), race=race)
+            log_event(
+                "alt_quali_fallback",
+                model=self._quali_model,
+                reason=str(e),
+                race=race,
+            )
             return None
 
     def _predict_quali(

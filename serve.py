@@ -136,7 +136,7 @@ def main():
     parser.add_argument("--engine", choices=["auto", "xla", "pallas"],
                         default="auto")
     parser.add_argument("--rookie-prior", action="store_true")
-    parser.add_argument("--quali-model", choices=["elo", "bayesian"],
+    parser.add_argument("--quali-model", choices=["elo", "bayesian", "gbm"],
                         default="elo")
     args = parser.parse_args()
 

@@ -291,4 +291,4 @@ def test_predictor_bayesian_path_end_to_end(tmp_path):
 def test_predictor_falls_back_to_elo_on_empty_archive(tmp_path):
     p = _make_predictor(tmp_path, quali_model="bayesian")
     p.feature_engine.laps = pd.DataFrame()  # no archive
-    assert p._predict_quali_bayesian(["VER", "NOR"], "Bahrain", 2024) is None
+    assert p._predict_quali_alt(["VER", "NOR"], "Bahrain", 2024) is None
