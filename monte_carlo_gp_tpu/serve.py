@@ -38,13 +38,166 @@ from monte_carlo_gp_tpu.models.safety import (
 )
 from monte_carlo_gp_tpu.utils.logging import get_logger, log_event
 
-__all__ = ["PredictionService", "ServeError"]
+__all__ = ["PredictionService", "ServeError", "dashboard_html"]
 
 _VALID_POINTS = ("fp1", "fp2", "fp3", "quali", "sprint")
 
 
 class ServeError(ValueError):
     """A request the service rejects (maps to HTTP 400)."""
+
+
+def dashboard_html() -> str:
+    """The server's dashboard page (GET /): a zero-dependency HTML client
+    for the /predict, /healthz and /stats endpoints.
+
+    The reference design doc plans an `app/streamlit_app.py` dashboard
+    (plan.md:2340-2341, tech-stack table plan.md:2311) it never ships;
+    Streamlit is unavailable here, so this is a single self-contained page
+    (inline CSS/JS, no CDN — the serving host may have zero egress) that
+    renders the same prediction report the CLI prints: ranked pole / win /
+    podium probability bars plus service stat tiles. Single-series bars,
+    zero baseline, values direct-labeled in ink, light/dark via
+    prefers-color-scheme."""
+    return _DASHBOARD_HTML
+
+
+_DASHBOARD_HTML = """<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>F1 Prediction Server</title>
+<style>
+  :root {
+    color-scheme: light;
+    --surface: #fcfcfb; --panel: #ffffff; --line: #e4e3df;
+    --ink: #0b0b0b; --ink-2: #52514e; --bar: #2a78d6;
+  }
+  @media (prefers-color-scheme: dark) {
+    :root {
+      color-scheme: dark;
+      --surface: #1a1a19; --panel: #232322; --line: #3a3936;
+      --ink: #ffffff; --ink-2: #c3c2b7; --bar: #3987e5;
+    }
+  }
+  body { margin: 0; background: var(--surface); color: var(--ink);
+         font: 14px/1.45 system-ui, sans-serif; }
+  main { max-width: 980px; margin: 0 auto; padding: 20px; }
+  h1 { font-size: 18px; margin: 0 0 4px; }
+  .sub { color: var(--ink-2); margin: 0 0 16px; }
+  .tiles { display: flex; gap: 10px; flex-wrap: wrap; margin: 0 0 16px; }
+  .tile { background: var(--panel); border: 1px solid var(--line);
+          border-radius: 8px; padding: 8px 14px; min-width: 90px; }
+  .tile b { display: block; font-size: 20px; font-variant-numeric: tabular-nums; }
+  .tile span { color: var(--ink-2); font-size: 12px; }
+  form { display: flex; gap: 8px; flex-wrap: wrap; align-items: end;
+         background: var(--panel); border: 1px solid var(--line);
+         border-radius: 8px; padding: 12px; margin: 0 0 16px; }
+  label { display: flex; flex-direction: column; gap: 2px;
+          color: var(--ink-2); font-size: 12px; }
+  input, select { font: inherit; color: var(--ink); background: var(--surface);
+          border: 1px solid var(--line); border-radius: 6px; padding: 5px 8px; }
+  input[type=number] { width: 90px; }
+  button { font: inherit; padding: 6px 16px; border-radius: 6px;
+           border: 1px solid var(--line); background: var(--bar);
+           color: #fff; cursor: pointer; }
+  button:disabled { opacity: .5; cursor: wait; }
+  .meta, .err { margin: 0 0 12px; color: var(--ink-2); }
+  .err { color: #b3261e; }
+  .panels { display: grid; gap: 16px;
+            grid-template-columns: repeat(auto-fit, minmax(280px, 1fr)); }
+  .panel { background: var(--panel); border: 1px solid var(--line);
+           border-radius: 8px; padding: 12px; }
+  .panel h2 { font-size: 13px; margin: 0 0 10px; color: var(--ink-2);
+              text-transform: uppercase; letter-spacing: .04em; }
+  .row { display: grid; grid-template-columns: 44px 1fr 52px; gap: 8px;
+         align-items: center; margin-bottom: 2px; padding: 2px 0; }
+  .row:hover { background: color-mix(in srgb, var(--bar) 8%, transparent); }
+  .drv { font-weight: 600; font-variant-numeric: tabular-nums; }
+  .track { height: 12px; }
+  .bar { height: 12px; background: var(--bar);
+         border-radius: 0 4px 4px 0; min-width: 2px; }
+  .val { color: var(--ink-2); text-align: right;
+         font-variant-numeric: tabular-nums; }
+</style></head><body><main>
+  <h1>F1 Prediction Server</h1>
+  <p class="sub">Monte Carlo race prediction — resident, compile-warm.
+     <span id="health"></span></p>
+  <div class="tiles" id="tiles"></div>
+  <form id="f">
+    <label>Season <input type="number" name="season" value="2024" required></label>
+    <label>Race <input name="race" value="Bahrain" required></label>
+    <label>Point <select name="prediction_point">
+      <option>fp1</option><option selected>fp2</option><option>fp3</option>
+      <option>quali</option><option>sprint</option></select></label>
+    <label>Simulations <input type="number" name="n_simulations" value="10000"></label>
+    <label>Seed <input type="number" name="seed" value="0"></label>
+    <button id="go">Predict</button>
+  </form>
+  <p class="meta" id="meta"></p>
+  <p class="err" id="err"></p>
+  <div class="panels" id="panels"></div>
+<script>
+const $ = id => document.getElementById(id);
+const pct = p => (100 * p).toFixed(1) + "%";
+
+async function refreshStats() {
+  try {
+    const [h, s] = await Promise.all([
+      fetch("/healthz").then(r => r.json()),
+      fetch("/stats").then(r => r.json()),
+    ]);
+    $("health").textContent = "backend: " + h.platform;
+    $("tiles").innerHTML = [
+      ["requests", s.requests], ["ok", s.ok], ["fallbacks", s.fallbacks],
+      ["rejected", s.rejected], ["errors", s.errors],
+      ["plan cache hits", s.plan_cache_hits],
+    ].map(([k, v]) => `<div class="tile"><b>${v}</b><span>${k}</span></div>`)
+     .join("");
+  } catch (e) { $("health").textContent = "stats unavailable"; }
+}
+
+function panel(title, probs) {
+  const top = Object.entries(probs).sort((a, b) => b[1] - a[1]).slice(0, 10);
+  const max = top.length ? top[0][1] : 1;
+  const rows = top.map(([d, p]) => `
+    <div class="row" title="${d}: ${pct(p)}">
+      <span class="drv">${d}</span>
+      <div class="track"><div class="bar" style="width:${
+        Math.max(100 * p / max, 1).toFixed(1)}%"></div></div>
+      <span class="val">${pct(p)}</span>
+    </div>`).join("");
+  return `<div class="panel"><h2>${title}</h2>${rows}</div>`;
+}
+
+$("f").addEventListener("submit", async ev => {
+  ev.preventDefault();
+  const fd = new FormData(ev.target), body = {};
+  for (const [k, v] of fd) body[k] = isNaN(+v) ? v : +v;
+  $("go").disabled = true; $("err").textContent = ""; $("meta").textContent = "…";
+  try {
+    const r = await fetch("/predict", { method: "POST", body: JSON.stringify(body) });
+    const j = await r.json();
+    if (!r.ok) { $("err").textContent = j.error; $("meta").textContent = ""; }
+    else {
+      const s = j.server || {};
+      $("meta").textContent =
+        `${s.season} ${s.race} — ${j.weather && j.weather.rainfall ? "wet" : "dry"}, ` +
+        `confidence ${j.confidence}` +
+        (j.fallback ? " (FALLBACK: no data)" : "") +
+        (s.latency_s != null ? ` — ${(1000 * s.latency_s).toFixed(0)} ms, ` +
+         `${s.n_simulations} sims, seed ${s.seed}` : "");
+      $("panels").innerHTML =
+        panel("Pole position", j.pole_probabilities || {}) +
+        panel("Race winner", j.win_probabilities || {}) +
+        panel("Podium", j.podium_probabilities || {});
+    }
+  } catch (e) { $("err").textContent = String(e); $("meta").textContent = ""; }
+  $("go").disabled = false;
+  refreshStats();
+});
+refreshStats();
+</script></main></body></html>
+"""
 
 
 class PredictionService:

@@ -13,6 +13,8 @@ steady-state request latency is Monte-Carlo-only.
         -d '{"season": 2024, "race": "Bahrain", "seed": 7}'
 
 Endpoints:
+    GET  /          HTML dashboard (the design doc's planned-but-unshipped
+                    app dashboard, plan.md:2340; zero-dependency inline page)
     GET  /healthz   liveness + backend platform
     GET  /stats     request counters (ok / fallbacks / rejected / errors,
                     plan-cache hits/misses)
@@ -74,7 +76,16 @@ def make_handler(service):
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 (http.server API)
-            if self.path == "/healthz":
+            if self.path in ("/", "/dashboard"):
+                from monte_carlo_gp_tpu.serve import dashboard_html
+
+                body = dashboard_html().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/healthz":
                 import jax
 
                 self._reply(200, {

@@ -128,6 +128,19 @@ ENV = {
 }
 
 
+def test_dashboard_html_is_self_contained():
+    """The dashboard must carry zero external resources (the serving host
+    may have no egress): inline CSS/JS only, relative endpoint URLs."""
+    from monte_carlo_gp_tpu.serve import dashboard_html
+
+    page = dashboard_html()
+    assert page.startswith("<!doctype html>")
+    assert "https://" not in page and "http://" not in page
+    assert "src=" not in page  # no external scripts/images
+    for endpoint in ("/predict", "/healthz", "/stats"):
+        assert endpoint in page
+
+
 def _post(url, body, timeout=120):
     req = urllib.request.Request(
         url, data=json.dumps(body).encode(),
@@ -193,6 +206,17 @@ def test_serve_http_end_to_end(tmp_path):
 
         status, _ = _get(f"{base}/nope")
         assert status == 404
+
+        # Dashboard page (the design doc's planned app dashboard): HTML that
+        # drives the same three endpoints this test just exercised.
+        with urllib.request.urlopen(f"{base}/", timeout=60) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+        assert "F1 Prediction Server" in page
+        for marker in ("/predict", "/healthz", "/stats",
+                       "Pole position", "Race winner", "Podium"):
+            assert marker in page
     finally:
         proc.terminate()
         try:
