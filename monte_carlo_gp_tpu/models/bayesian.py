@@ -41,7 +41,6 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -366,8 +365,12 @@ def _sample_chain(key, theta0, logp_fn, grad_fn, n_warmup, n_samples, n_leapfrog
     return samples, jnp.mean(alphas)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _run_chains(key, theta0s, logp_fn, grad_fn, n_warmup, n_samples, n_leapfrog):
+    # NOT a module-level jit: logp_fn/grad_fn are fresh closures per fit, so
+    # a global static-arg cache can never hit across fits — it would only
+    # accumulate one compiled executable (plus its captured design arrays)
+    # per walk-forward refit for the life of the process. sample_posterior
+    # jits this per fit instead; the executable is released with the wrapper.
     return jax.vmap(
         lambda k, t0: _sample_chain(
             k, t0, logp_fn, grad_fn, n_warmup, n_samples, n_leapfrog
@@ -423,10 +426,13 @@ def sample_posterior(
             jnp.asarray(offsets)
             + 0.1 * jax.random.normal(k_init, (num_chains, dim), jnp.float32)
         )
-        samples, accept = _run_chains(
-            jax.random.split(k_run, num_chains), theta0s, logp_fn, grad_fn,
-            int(num_warmup), int(num_samples), int(num_leapfrog),
+        run = jax.jit(
+            lambda ks, t0s: _run_chains(
+                ks, t0s, logp_fn, grad_fn,
+                int(num_warmup), int(num_samples), int(num_leapfrog),
+            )
         )
+        samples, accept = run(jax.random.split(k_run, num_chains), theta0s)
         raw = np.asarray(samples)  # (chains, samples, dim)
         flat = jnp.asarray(raw.reshape(num_chains * num_samples, dim))
         con = jax.vmap(lambda t: constrain(t, sizes))(flat)

@@ -284,29 +284,54 @@ class F1EloSystem:
         (unknown teammates count at the initial rating, mirroring the spec's
         ``.get('quali', 1500)``), or 1400 when the team has no other drivers
         (conservative default for a new team); both disciplines are set to
-        prior - 50 (inexperience penalty). Overwrites any existing rating,
-        exactly like the spec — callers gate on `has_rating` when they only
-        want true rookies touched. Returns the applied rating.
+        prior - 50 (inexperience penalty). A driver whose team is UNKNOWN
+        (``team is None``) is left at the initial rating and NOT interned —
+        no information is no reason to demote below the flat default.
+        Overwrites any existing rating, exactly like the spec — callers gate
+        on `has_rating` when they only want true rookies touched. Returns
+        the applied rating.
         """
+        return self.initialize_rookies({driver: team}, driver_teams)[driver]
+
+    def initialize_rookies(
+        self,
+        rookies: dict[str, str | None],
+        driver_teams: dict[str, str] | None = None,
+    ) -> dict[str, float]:
+        """Batch form of `initialize_rookie`: every prior is computed from
+        the ratings snapshot BEFORE any of this batch is seeded, so two
+        unrated teammates both draw the other at the initial rating instead
+        of one seeing the other's freshly penalized rating (the single-call
+        loop was order-dependent on the weekend's row order)."""
         self.flush()
         if driver_teams is None:
             from monte_carlo_gp_tpu import config as cfg
 
             driver_teams = cfg.DRIVER_TEAMS
-        teammates = [
-            d for d, t in driver_teams.items() if team is not None and t == team and d != driver
-        ]
-        if teammates:
-            prior = float(
-                np.mean([self._rating_of(t, QUALI) for t in teammates])
-            )
-        else:
-            prior = 1400.0
-        rating = prior - 50.0
-        (idx,) = self._intern([driver])
-        self._ratings[idx, QUALI] = rating
-        self._ratings[idx, RACE] = rating
-        return rating
+        # Snapshot priors first: _rating_of reads the pre-batch table, and
+        # nothing is interned until every prior is fixed.
+        applied: dict[str, float] = {}
+        for driver, team in rookies.items():
+            if team is None:
+                applied[driver] = self.params.initial_rating
+                continue
+            teammates = [
+                d for d, t in driver_teams.items() if t == team and d != driver
+            ]
+            if teammates:
+                prior = float(
+                    np.mean([self._rating_of(t, QUALI) for t in teammates])
+                )
+            else:
+                prior = 1400.0
+            applied[driver] = prior - 50.0
+        for driver, team in rookies.items():
+            if team is None:
+                continue
+            (idx,) = self._intern([driver])
+            self._ratings[idx, QUALI] = applied[driver]
+            self._ratings[idx, RACE] = applied[driver]
+        return applied
 
     def get_rating(self, driver: str, rating_type: str = "quali") -> float:
         """(elo.py:143-145)"""

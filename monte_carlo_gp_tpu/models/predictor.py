@@ -298,16 +298,30 @@ class F1Predictor:
 
         drivers = fp_data["Driver"].unique().tolist()
         n = len(drivers)
+        # The weekend's driver→team assignment comes from the session frame
+        # itself (loader schema guarantees a Team column), NOT the static
+        # 2025 cfg.DRIVER_TEAMS table: real-data archives carry FastF1 team
+        # names and historical rosters that the static map would silently
+        # mismatch (destroying the alt quali models' team signal and
+        # mis-seeding rookie priors). The static map is only the fallback
+        # for rows whose Team is missing.
+        weekend_teams = self._teams_from_fp(fp_data, drivers)
 
         # Rookie seeding (opt-in): drivers in this weekend's field with no
         # rated history get a teammate-prior Elo instead of the flat initial
         # rating (plan.md:2762-2783; the reference leaves rookies at 1500).
+        # Batched so two unrated teammates get order-independent priors.
         if self._rookie_prior:
-            for d in drivers:
-                if not self.elo_system.has_rating(d):
-                    rating = self.elo_system.initialize_rookie(
-                        d, cfg.DRIVER_TEAMS.get(d)
-                    )
+            rookies = {
+                d: weekend_teams.get(d)
+                for d in drivers
+                if not self.elo_system.has_rating(d)
+            }
+            if rookies:
+                seeded = self.elo_system.initialize_rookies(
+                    rookies, weekend_teams
+                )
+                for d, rating in seeded.items():
                     log_event("rookie_initialized", driver=d, rating=rating)
 
         # Qualifying probabilities: actual grid or model prediction.
@@ -318,7 +332,9 @@ class F1Predictor:
         else:
             quali_probs = None
             if self._quali_model != "elo":
-                quali_probs = self._predict_quali_alt(drivers, race, season)
+                quali_probs = self._predict_quali_alt(
+                    drivers, race, season, weekend_teams
+                )
             if quali_probs is None:
                 quali_features = {
                     d: self.feature_engine.calculate_quali_features(d, race)
@@ -500,8 +516,30 @@ class F1Predictor:
 
     # -- qualifying model (reference predictor.py:466-520) -----------------------
 
+    @staticmethod
+    def _teams_from_fp(
+        fp_data: pd.DataFrame, drivers: list[str]
+    ) -> dict[str, str | None]:
+        """Weekend driver→team from the session frame (first non-null Team
+        per driver — one weekend, one team), falling back to the static
+        cfg.DRIVER_TEAMS map only for rows with no Team value. Keeps the alt
+        quali models and the rookie prior on the archive's own team
+        vocabulary (FastF1 names, historical rosters) instead of the
+        hardcoded 2025 table."""
+        from_frame: dict[str, str] = {}
+        if "Team" in fp_data.columns:
+            teams = fp_data[["Driver", "Team"]].dropna()
+            from_frame = teams.groupby("Driver", sort=False)["Team"].first().to_dict()
+        return {
+            d: from_frame.get(d) or cfg.DRIVER_TEAMS.get(d) for d in drivers
+        }
+
     def _predict_quali_alt(
-        self, drivers: list[str], race: str, season: int
+        self,
+        drivers: list[str],
+        race: str,
+        season: int,
+        driver_teams: dict[str, str | None] | None = None,
     ) -> dict[str, list[float]] | None:
         """Opt-in quali paths from the reference design doc (never shipped
         there): the hierarchical Bayesian model ("Approach B",
@@ -536,11 +574,13 @@ class F1Predictor:
         import zlib
 
         noise_seed = zlib.crc32(f"{season}:{race}".encode())
+        if driver_teams is None:
+            driver_teams = {d: cfg.DRIVER_TEAMS.get(d) for d in drivers}
         try:
             return self._bayes_model.predict(
                 laps,
                 drivers,
-                {d: cfg.DRIVER_TEAMS.get(d) for d in drivers},
+                driver_teams,
                 circuit=race,
                 seed=noise_seed,
             )

@@ -84,6 +84,7 @@ def generate_fallback_predictions(
             "prediction_point": prediction_point,
             "confidence": "none",
             "grid_is_actual": False,
+            "n_simulations_effective": 0,
         }
     uniform = 1.0 / n
     podium = min(3.0 / n, 1.0)
@@ -99,6 +100,9 @@ def generate_fallback_predictions(
         "prediction_point": prediction_point,
         "confidence": "none",
         "grid_is_actual": False,
+        # Real predictions always carry this (predictor.assemble_result);
+        # consumers reading it must not crash exactly on the degraded path.
+        "n_simulations_effective": 0,
     }
 
 

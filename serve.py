@@ -164,9 +164,27 @@ def main():
         parts = spec.split(":")
         if len(parts) not in (2, 3):
             parser.error(f"--warm expects SEASON:RACE[:POINT], got {spec!r}")
-        season, race = int(parts[0]), parts[1]
+        try:
+            season = int(parts[0])
+        except ValueError:
+            parser.error(
+                f"--warm expects SEASON:RACE[:POINT] with an integer season, "
+                f"got {spec!r}"
+            )
+        race = parts[1]
         point = parts[2] if len(parts) == 3 else "fp2"
-        dt = service.warmup(season, race, point)
+        try:
+            dt = service.warmup(season, race, point)
+        except ValueError as e:
+            # A typo'd warm target must not turn graceful-degradation
+            # deployment into a crash loop: the same weekend requested at
+            # runtime would answer with the safe fallback, so warming it is
+            # a warning, not a startup failure. Without --no-safe we still
+            # fail fast (the operator asked for raw errors).
+            if args.no_safe:
+                raise
+            print(f"warm {season} {race} ({point}) failed: {e}", flush=True)
+            continue
         print(f"warm {season} {race} ({point}): {dt:.1f}s", flush=True)
 
     server = HTTPServer((args.host, args.port), make_handler(service))

@@ -142,7 +142,26 @@ def test_rookie_prior_unknown_teammates_count_at_initial():
 def test_rookie_prior_new_team_defaults_1350():
     elo = F1EloSystem()
     assert elo.initialize_rookie("NEW", "Brand New Team", {"NEW": "Brand New Team"}) == 1350.0
-    assert elo.initialize_rookie("SOLO", None, {}) == 1350.0
+    assert elo.has_rating("NEW")
+
+
+def test_rookie_prior_unknown_team_stays_at_initial():
+    # No team info is no reason to demote below the flat default: the driver
+    # is left at the initial rating and NOT interned (so a later weekend
+    # with team data can still seed them properly).
+    elo = F1EloSystem()
+    assert elo.initialize_rookie("SOLO", None, {}) == 1500.0
+    assert not elo.has_rating("SOLO")
+
+
+def test_rookie_prior_batch_is_order_independent():
+    # Two unrated teammates must BOTH draw the other at the initial rating:
+    # the batch API snapshots priors before seeding anyone.
+    for order in (("NEW1", "NEW2"), ("NEW2", "NEW1")):
+        elo = F1EloSystem()
+        teams = {"NEW1": "T1", "NEW2": "T1"}
+        seeded = elo.initialize_rookies({d: "T1" for d in order}, teams)
+        assert seeded["NEW1"] == seeded["NEW2"] == 1450.0
 
 
 def test_rookie_prior_sees_pending_events():

@@ -23,12 +23,17 @@ def parse_grid(specs: list[str]) -> dict[str, list[float]]:
             raise SystemExit(
                 f"--grid expects KEY=V1,V2,... (got {spec!r})"
             )
+        key = key.strip()
         try:
-            grid[key.strip()] = [float(v) for v in values.split(",") if v.strip()]
+            parsed = [float(v) for v in values.split(",") if v.strip()]
         except ValueError:
             raise SystemExit(f"--grid {spec!r}: values must be numbers")
-        if not grid[key.strip()]:
+        if not parsed:
             raise SystemExit(f"--grid {spec!r}: no values")
+        # A repeated axis extends it (dedup, order-preserving) rather than
+        # silently replacing the earlier values.
+        merged = list(dict.fromkeys(grid.get(key, []) + parsed))
+        grid[key] = merged
     return grid
 
 
