@@ -127,9 +127,12 @@ def main():
              "each distinct count compiles its own engine program)",
     )
     parser.add_argument(
-        "--warm", type=str, nargs="*", default=[], metavar="SEASON:RACE[:POINT]",
+        # action="extend": a repeated --warm flag adds targets; the default
+        # store action with nargs="*" silently REPLACED earlier occurrences.
+        "--warm", type=str, nargs="*", action="extend", default=[],
+        metavar="SEASON:RACE[:POINT]",
         help="Weekends to prepare + compile before serving "
-             "(e.g. 2024:Bahrain 2024:Monaco:quali)",
+             "(e.g. 2024:Bahrain 2024:Monaco:quali; flag may repeat)",
     )
     parser.add_argument(
         "--no-safe", action="store_true",

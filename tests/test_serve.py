@@ -166,21 +166,29 @@ def test_serve_http_end_to_end(tmp_path):
     proc = subprocess.Popen(
         [sys.executable, "serve.py", "--synthetic", "--port", "0",
          "--simulations", "256", "--engine", "xla",
-         "--cache-dir", str(tmp_path / "cache"), "--warm", "2024:Bahrain"],
+         "--cache-dir", str(tmp_path / "cache"), "--warm", "2024:Bahrain",
+         # A typo'd warm target must NOT crash startup in safe mode (the
+         # weekend would degrade to the fallback at runtime anyway).
+         "--warm", "2024:Nowhere"],
         cwd=REPO, env=ENV, text=True, bufsize=1,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
     )
     try:
         # Wait for the parseable readiness line (warmup compiles first).
-        base, deadline = None, time.time() + 300
+        base, deadline, startup_lines = None, time.time() + 300, []
         while time.time() < deadline:
             line = proc.stdout.readline()
             if not line and proc.poll() is not None:
                 pytest.fail(f"server died: {proc.stderr.read()[-2000:]}")
+            startup_lines.append(line)
             if line.startswith("Serving on "):
                 base = line.split("Serving on ", 1)[1].strip()
                 break
         assert base, "server never printed its readiness line"
+        assert any(
+            l.startswith("warm 2024 Nowhere") and "failed:" in l
+            for l in startup_lines
+        ), startup_lines
 
         status, health = _get(f"{base}/healthz")
         assert status == 200 and health["status"] == "ok"
