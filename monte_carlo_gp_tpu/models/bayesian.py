@@ -47,6 +47,10 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from monte_carlo_gp_tpu.models.quali_common import (
+    rank_draws_to_probs,
+    valid_q_rows,
+)
 from monte_carlo_gp_tpu.utils.logging import log_event
 
 
@@ -118,21 +122,14 @@ def build_quali_design(
 
     `session_type` filters the archive (default "Q": it is a qualifying
     model; the sketch trains on whatever frame it is handed). Pass None to
-    train on all laps. Raises ValueError when no usable rows remain
+    train on all laps. Raises ValueError when no usable rows remain — or
+    when the archive HAS a session_type column but zero matching rows
+    (a qualifying model must not silently fit race laps; the predictor's
+    wrapper degrades the raise to the Elo path). Filter semantics shared
+    with the GBM model via quali_common.valid_q_rows
     (plan.md:1121-1122, 1153-1154).
     """
-    required = {"LapTime", "Driver", "Team", "circuit"}
-    if laps.empty or not required.issubset(laps.columns):
-        raise ValueError("No valid lap times to build model")
-    rows = laps
-    if session_type is not None and "session_type" in rows.columns:
-        typed = rows[rows["session_type"] == session_type]
-        if not typed.empty:
-            rows = typed
-    rows = rows.dropna(subset=["LapTime", "Driver", "Team", "circuit"])
-    rows = rows[rows["LapTime"] > 0]
-    if rows.empty:
-        raise ValueError("No valid lap times to build model")
+    rows = valid_q_rows(laps, session_type)
 
     lap_s = rows["LapTime"].to_numpy(np.float64)
     # Gap to the fastest lap of the same circuit, in percent
@@ -526,12 +523,7 @@ def quali_position_probs(
             mu[:, j] += posterior.circuit_effect[:, circuit_i]
 
     gaps = mu + posterior.sigma[:, None] * noise
-    order = np.argsort(gaps, axis=1, kind="stable")  # (S, n) driver index per rank
-    counts = np.zeros((n, n), np.float64)  # (driver, position)
-    for p in range(n):
-        np.add.at(counts[:, p], order[:, p], 1.0)
-    probs = counts / s_draws
-    return {d: probs[j].tolist() for j, d in enumerate(drivers)}
+    return rank_draws_to_probs(gaps, drivers)
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,10 @@ import dataclasses
 import numpy as np
 import pandas as pd
 
+from monte_carlo_gp_tpu.models.quali_common import (
+    rank_draws_to_probs,
+    valid_q_rows,
+)
 from monte_carlo_gp_tpu.utils.logging import log_event
 
 FORM_WINDOW = 5  # rolling form over the driver's last 5 events
@@ -55,24 +59,17 @@ class QualiTrainingData:
     X: pd.DataFrame  # (N, len(FEATURES)), NaN where no history exists
     y: np.ndarray  # (N,) float32 gap-to-pole percent at the row's event
     meta: pd.DataFrame  # (N,) Driver / Team / season / circuit per row
+    # End-of-pass aggregate state (after folding the WHOLE archive) — exactly
+    # what prediction-time features need, so predict reuses it instead of
+    # re-folding the archive (O(n_races^2) host work across a walk-forward).
+    agg: dict = dataclasses.field(default_factory=dict, repr=False)
 
 
 def _event_best_gaps(laps: pd.DataFrame, session_type: str | None = "Q"):
     """Per (event, driver): best lap's percentage gap to the event pole,
     in the archive's chronological event order. Yields
     (season, circuit, {driver: (gap, team)}) tuples."""
-    required = {"LapTime", "Driver", "Team", "circuit"}
-    if laps.empty or not required.issubset(laps.columns):
-        raise ValueError("No valid lap times to build model")
-    rows = laps
-    if session_type is not None and "session_type" in rows.columns:
-        typed = rows[rows["session_type"] == session_type]
-        if not typed.empty:
-            rows = typed
-    rows = rows.dropna(subset=["LapTime", "Driver", "Team", "circuit"])
-    rows = rows[rows["LapTime"] > 0]
-    if rows.empty:
-        raise ValueError("No valid lap times to build model")
+    rows = valid_q_rows(laps, session_type)
     if "season" not in rows.columns:
         rows = rows.assign(season=0)
 
@@ -112,6 +109,7 @@ def build_training_frame(
     circ_n: dict[tuple, int] = {}
 
     feats, targets, meta = [], [], []
+    last_team: dict[str, str] = {}
     for season, circuit, gaps in events:
         # READ phase: features from strictly-earlier events.
         for d, (gap, team) in gaps.items():
@@ -146,11 +144,20 @@ def build_training_frame(
             ck = (d, circuit)
             circ_sum[ck] = circ_sum.get(ck, 0.0) + gap
             circ_n[ck] = circ_n.get(ck, 0) + 1
+            last_team[d] = team
 
     return QualiTrainingData(
         X=pd.DataFrame(feats, columns=FEATURES),
         y=np.asarray(targets, np.float32),
         meta=pd.DataFrame(meta),
+        agg={
+            "hist": hist,
+            "team_sum": team_sum,
+            "team_n": team_n,
+            "circ_sum": circ_sum,
+            "circ_n": circ_n,
+            "last_team": last_team,
+        },
     )
 
 
@@ -160,27 +167,25 @@ def _current_features(
     driver_teams: dict[str, str | None],
     circuit: str,
     session_type: str | None = "Q",
+    agg: dict | None = None,
 ) -> pd.DataFrame:
     """As-of-now feature rows for a weekend field: the same aggregates the
     training pass maintains, folded over the ENTIRE archive (prediction time
     is after every archived event). Unknown drivers/teams yield NaN rows —
-    the model's native missing-data path."""
-    events = _event_best_gaps(laps, session_type)
-    hist: dict[str, list[float]] = {}
-    team_sum: dict[str, float] = {}
-    team_n: dict[str, int] = {}
-    circ_sum: dict[tuple, float] = {}
-    circ_n: dict[tuple, int] = {}
-    last_team: dict[str, str] = {}
-    for _season, ev_circuit, gaps in events:
-        for d, (gap, team) in gaps.items():
-            hist.setdefault(d, []).append(gap)
-            team_sum[team] = team_sum.get(team, 0.0) + gap
-            team_n[team] = team_n.get(team, 0) + 1
-            ck = (d, ev_circuit)
-            circ_sum[ck] = circ_sum.get(ck, 0.0) + gap
-            circ_n[ck] = circ_n.get(ck, 0) + 1
-            last_team[d] = team
+    the model's native missing-data path.
+
+    `agg` short-circuits the fold with `build_training_frame`'s end-of-pass
+    state (QualiTrainingData.agg) — the training pass already folded the
+    whole archive, so prediction need not pay a second full pandas pass
+    per walk-forward race."""
+    if agg is None:
+        agg = build_training_frame(laps, session_type).agg
+    hist: dict[str, list[float]] = agg["hist"]
+    team_sum: dict[str, float] = agg["team_sum"]
+    team_n: dict[str, int] = agg["team_n"]
+    circ_sum: dict[tuple, float] = agg["circ_sum"]
+    circ_n: dict[tuple, int] = agg["circ_n"]
+    last_team: dict[str, str] = agg["last_team"]
 
     rows = []
     for d in drivers:
@@ -244,6 +249,7 @@ class GBMQualiModel:
         self.n_grid_draws = n_grid_draws
         self.seed = seed
         self._models: list | None = None
+        self._agg: dict | None = None
         self._resid_sigma: float | None = None
         self._token: object | None = None
 
@@ -255,7 +261,10 @@ class GBMQualiModel:
         n = len(data.y)
         n_splits = min(self.n_splits, max(2, n // 20)) if n >= 40 else 2
         if n < 2 * (n_splits + 1):
-            raise ValueError("No valid data after filtering unknown teams/drivers/circuits")
+            raise ValueError(
+                f"not enough training rows for TimeSeriesSplit "
+                f"(need >= {2 * (n_splits + 1)}, archive has {n})"
+            )
         tscv = TimeSeriesSplit(n_splits=n_splits)
         models, residuals = [], []
         for train_idx, val_idx in tscv.split(data.X):
@@ -286,6 +295,7 @@ class GBMQualiModel:
                 data.y[val_idx] - m.predict(data.X.iloc[val_idx][cols])
             )
         self._models = models
+        self._agg = data.agg
         pooled = np.concatenate(residuals)
         self._resid_sigma = float(max(np.std(pooled), 1e-3))
         self._token = laps.attrs.get("_mcgp_loader_token")
@@ -311,7 +321,11 @@ class GBMQualiModel:
     ) -> np.ndarray:
         """Fold-ensemble mean predicted gap-to-pole percent per driver."""
         self._ensure_fit(laps)
-        X = _current_features(laps, drivers, driver_teams, circuit)
+        # The fit's token cache guarantees self._agg was folded from THIS
+        # archive build (a different token refits just above).
+        X = _current_features(
+            laps, drivers, driver_teams, circuit, agg=self._agg
+        )
         preds = np.stack([m.predict(X[cols]) for m, cols in self._models])
         return preds.mean(axis=0)
 
@@ -334,9 +348,4 @@ class GBMQualiModel:
         draws = mu[None, :] + self._resid_sigma * rng.standard_normal(
             (self.n_grid_draws, n)
         )
-        order = np.argsort(draws, axis=1, kind="stable")
-        counts = np.zeros((n, n), np.float64)
-        for p in range(n):
-            np.add.at(counts[:, p], order[:, p], 1.0)
-        probs = counts / self.n_grid_draws
-        return {d: probs[j].tolist() for j, d in enumerate(drivers)}
+        return rank_draws_to_probs(draws, drivers)

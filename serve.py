@@ -61,8 +61,19 @@ def build_predictor(args):
     )
 
 
+# Largest accepted /predict body. Real requests are a few hundred bytes
+# (season/race/seed plus optional penalty/grid dicts over ~20 drivers);
+# 1 MiB leaves ~3 orders of magnitude headroom while keeping a hostile
+# Content-Length from wedging the single serving thread or ballooning RSS.
+MAX_BODY_BYTES = 1 << 20
+
+
 def make_handler(service):
     class Handler(BaseHTTPRequestHandler):
+        # A stalled client must not wedge the single serving thread forever:
+        # socket reads time out and surface as a handled request error.
+        timeout = 60
+
         # Access logs go through the structured logger, not stderr noise.
         def log_message(self, fmt, *args):  # noqa: D102
             pass
@@ -104,6 +115,12 @@ def make_handler(service):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    self._reply(413, {
+                        "error": f"request body too large "
+                                 f"({length} > {MAX_BODY_BYTES} bytes)",
+                    })
+                    return
                 request = json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"invalid JSON body: {e}"})
@@ -176,6 +193,15 @@ def main():
             )
         race = parts[1]
         point = parts[2] if len(parts) == 3 else "fp2"
+        from monte_carlo_gp_tpu.serve import _VALID_POINTS
+
+        if point not in _VALID_POINTS:
+            # A typo'd point would warm a plan-cache entry no request can
+            # ever hit (_validate rejects it) — fail fast like the
+            # SEASON:RACE parse errors beside it.
+            parser.error(
+                f"--warm point must be one of {_VALID_POINTS}, got {point!r}"
+            )
         try:
             dt = service.warmup(season, race, point)
         except ValueError as e:

@@ -127,6 +127,30 @@ def test_design_raises_on_empty():
         )
 
 
+def test_design_refuses_race_only_archive():
+    """An archive WITH a session_type column but ZERO 'Q' rows must raise —
+    never silently fit the qualifying model on race laps (the predictor
+    wrapper degrades the raise to the Elo path). Shared strict filter:
+    models/quali_common.valid_q_rows, used by ml.py too."""
+    race_only = pd.DataFrame(
+        dict(
+            Driver=["A", "B"],
+            Team=["X", "Y"],
+            circuit=["c1", "c1"],
+            LapTime=[92.0, 93.0],
+            session_type=["R", "R"],
+        )
+    )
+    with pytest.raises(ValueError, match="no 'Q' session laps"):
+        B.build_quali_design(race_only)
+    from monte_carlo_gp_tpu.models import ml as M
+
+    with pytest.raises(ValueError, match="no 'Q' session laps"):
+        M.build_training_frame(race_only)
+    # session_type=None still trains on everything (the sketch's behavior).
+    assert B.build_quali_design(race_only, session_type=None).n_rows == 2
+
+
 # ------------------------------------------------------------ inference
 
 

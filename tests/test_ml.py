@@ -84,8 +84,27 @@ def fitted():
 
 
 def test_fit_requires_enough_rows():
-    with pytest.raises(ValueError, match="No valid data"):
+    with pytest.raises(ValueError, match="not enough training rows"):
         M.GBMQualiModel().fit(_two_event_archive())
+
+
+def test_predict_reuses_fit_aggregates(monkeypatch):
+    """Prediction features come from the fit's end-of-pass aggregate state
+    (QualiTrainingData.agg) — the archive must NOT be re-folded per predict
+    (that was O(n_races^2) host work across a walk-forward backtest)."""
+    laps, _ = _world()
+    laps = laps.copy()
+    laps.attrs["_mcgp_loader_token"] = object()
+    model = M.GBMQualiModel()
+    model.fit(laps)
+    before = model.predict(laps, DRIVERS, TEAM_OF, "C0", seed=1)
+
+    def boom(*a, **k):
+        raise AssertionError("archive re-folded at predict time")
+
+    monkeypatch.setattr(M, "_event_best_gaps", boom)
+    probs = model.predict(laps, DRIVERS, TEAM_OF, "C0", seed=1)
+    assert probs == before  # same aggregates, same draws — and no re-fold
 
 
 def test_predict_distributions(fitted):

@@ -215,6 +215,22 @@ def test_serve_http_end_to_end(tmp_path):
         status, _ = _get(f"{base}/nope")
         assert status == 404
 
+        # A hostile Content-Length is rejected up front (413) without the
+        # single serving thread ever trying to read the body.
+        import http.client
+
+        hostport = base.split("//", 1)[1]
+        host, port = hostport.rsplit(":", 1)
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        try:
+            conn.putrequest("POST", "/predict")
+            conn.putheader("Content-Length", str(50_000_000))
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 413, resp.read()
+        finally:
+            conn.close()
+
         # Dashboard page (the design doc's planned app dashboard): HTML that
         # drives the same three endpoints this test just exercised.
         with urllib.request.urlopen(f"{base}/", timeout=60) as r:
