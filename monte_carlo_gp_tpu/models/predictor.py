@@ -427,16 +427,16 @@ class F1Predictor:
         race_laps = (
             None if bucket == plan.total_laps else jnp.int32(plan.total_laps)
         )
-        if engine == "pallas" and plan.params.n_drivers > 64:
+        if engine == "pallas" and plan.params.n_drivers > 128:
             # The fused kernel's rank keys pack rank*M+row (pallas_engine
-            # `rank_key`, M=32 or 64 by field size), capping the driver axis
-            # at 64. The reference simulator is size-generic
+            # `rank_key`, M=32/64/128 by field size), capping the driver
+            # axis at 128. The reference simulator is size-generic
             # (simulation.py:59-100), so 'auto' must be too: fall back to
             # the XLA lap-scan engine, which has no field-size limit,
             # instead of raising from the guard.
             log_event(
                 "engine_fallback_xla",
-                reason="n_drivers>64 exceeds the fused kernel's rank-key packing",
+                reason="n_drivers>128 exceeds the fused kernel's rank-key packing",
                 n_drivers=plan.params.n_drivers,
             )
             engine = "xla"

@@ -214,9 +214,10 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
     #   ((bitcast(max(cum, 0.25)) - bitcast(0.25)) >> Q) * M + row
     # orders by (cum quantized to 2^Q ULP, row index) in int32. The packing
     # widens with the (static) field size: (Q=2, M=32) up to 32 rows — the
-    # original layout, so every D<=32 result stays bitwise unchanged — and
-    # (Q=3, M=64) for 33..64 rows (guarded in run_monte_carlo_pallas). Both
-    # scale quantized cum by M >> Q = 8, so the int32 headroom is identical:
+    # original layout, so every D<=32 result stays bitwise unchanged —
+    # (Q=3, M=64) for 33..64 rows, and (Q=4, M=128) for 65..128 rows
+    # (guarded in run_monte_carlo_pallas). Every tier
+    # scales quantized cum by M >> Q = 8, so the int32 headroom is identical:
     # live keys stay below the 2.1e9 DNF sentinel for cum < ~5e8 s
     # (make_sim_params caps lap pace at 15,000 s, keeping any plausible race
     # orders of magnitude inside), and the 0.25 s floor keeps tiny/zero
@@ -226,7 +227,9 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
     # exact ties, far inside measurement noise (validated vs the native
     # oracle at 262k sims). Mirrors ops/ranking.rank_by_unique.
     _IKEY_BASE = 0x3E800000  # bitcast(0.25f)
-    _Q_SHIFT, _ROW_MULT = (2, 32) if d <= 32 else (3, 64)
+    _Q_SHIFT, _ROW_MULT = (
+        (2, 32) if d <= 32 else ((3, 64) if d <= 64 else (4, 128))
+    )
 
     def rank_key(cum, row_iota, dnf=None):
         ikey = pltpu.bitcast(jnp.maximum(cum, 0.25), jnp.int32)
@@ -469,10 +472,12 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
             # reproduce `rank` exactly — up to rank_key QUANTIZE ties a
             # fresh re-rank could arbitrate differently: sub-ULP VSC
             # rounding, and (the wider window) red-flag/bunched spacings
-            # finer than the key's 4-ULP bucket, which exceeds the 0.1 s
-            # red-flag gap once cum is above ~5e5 s (reachable inside the
-            # validated 15,000 s/lap domain — see the rank-key domain note
-            # at _IKEY_BASE). Either reading only changes WHICH car feeds
+            # finer than the key's 2^Q-ULP bucket (4 ULP at D<=32, 8/16 at
+            # the wider tiers), which exceeds the 0.1 s red-flag gap once
+            # cum is above ~5e5 s (~2.5e5/~1.3e5 for the wider tiers —
+            # all reachable only far inside the validated 15,000 s/lap
+            # domain; see the rank-key note at _IKEY_BASE). Either reading
+            # only changes WHICH car feeds
             # the dirty-air lookup in those corner states; both engines
             # reuse the carried rank consistently, so the effect is
             # distributionally negligible and cross-engine consistent.
@@ -1004,10 +1009,10 @@ def run_monte_carlo_pallas_season(
             f"sims_per_tile={sims_per_tile}"
         )
     stacked, d_max = stack_params(params_list)
-    if d_max > 64:
+    if d_max > 128:
         raise ValueError(
-            "the fused kernel's rank keys pack *64+row (rank_key): driver "
-            "axis is limited to 64; use the XLA season path for larger fields"
+            "the fused kernel's rank keys pack *128+row (rank_key): driver "
+            "axis is limited to 128; use the XLA season path for larger fields"
         )
     if len(race_laps_list) != len(params_list):
         raise ValueError("race_laps_list must match params_list")
@@ -1049,10 +1054,10 @@ def run_monte_carlo_pallas(
         raise ValueError(
             f"n_sims={n_sims} must be a multiple of sims_per_tile={sims_per_tile}"
         )
-    if params.n_drivers > 64:
+    if params.n_drivers > 128:
         raise ValueError(
-            "the fused kernel's rank keys pack *64+row (rank_key): driver "
-            "axis is limited to 64; use the XLA engine for larger fields"
+            "the fused kernel's rank keys pack *128+row (rank_key): driver "
+            "axis is limited to 128; use the XLA engine for larger fields"
         )
     return _run_pallas_jit(
         params, key, n_sims, total_laps, sims_per_tile, interpret, race_laps
@@ -1163,10 +1168,10 @@ def run_monte_carlo_pallas_sharded(
         raise ValueError(
             f"n_sims={n_sims} must be a multiple of sims_per_tile={sims_per_tile}"
         )
-    if params.n_drivers > 64:
+    if params.n_drivers > 128:
         raise ValueError(
-            "the fused kernel's rank keys pack *64+row (rank_key): driver "
-            "axis is limited to 64; use the XLA engine for larger fields"
+            "the fused kernel's rank keys pack *128+row (rank_key): driver "
+            "axis is limited to 128; use the XLA engine for larger fields"
         )
     if mesh is None:
         from monte_carlo_gp_tpu.parallel.mesh import make_mesh

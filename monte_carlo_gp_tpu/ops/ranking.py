@@ -33,9 +33,10 @@ def rank_by_unique(keys: jnp.ndarray, dnf: jnp.ndarray | None = None) -> jnp.nda
     lexicographic tie-break (the (..., D, D) comparison tensor is the lap
     step's largest intermediate). The packing widens with the field:
     (Q=2, M=32) up to 32 rows (the original layout — every D<=32 result
-    stays bitwise unchanged) and (Q=3, M=64) for 33..64; both scale
+    stays bitwise unchanged), (Q=3, M=64) for 33..64, and (Q=4, M=128)
+    for 65..128; every tier scales
     quantized keys by M >> Q = 8, so the int32 headroom is identical.
-    Exact f32 ties, pairs within 2^Q ULP (≈4-8 ms at race scale), and
+    Exact f32 ties, pairs within 2^Q ULP (≈4-16 ms at race scale), and
     values below 0.25 s arbitrate by index — the same arbitration `rank_by`
     applies to exact ties, validated against the native oracle at 262k sims
     (sub-noise-floor TV; mirrors ops/pallas_engine.rank_key).
@@ -43,12 +44,12 @@ def rank_by_unique(keys: jnp.ndarray, dnf: jnp.ndarray | None = None) -> jnp.nda
     at 15,000 s, keeping any plausible race orders of magnitude inside.
     `dnf` marks cars that sort last (distinct keys)."""
     d = keys.shape[-1]
-    if d > 64:
-        # the *M+index packing is only injective for <=64 rows; rare
+    if d > 128:
+        # the *M+index packing is only injective for <=128 rows; rare
         # oversize fields take the exact lexicographic path instead
         masked = keys if dnf is None else jnp.where(dnf, jnp.float32(1e30), keys)
         return rank_by(masked)
-    q_shift, row_mult = (2, 32) if d <= 32 else (3, 64)
+    q_shift, row_mult = (2, 32) if d <= 32 else ((3, 64) if d <= 64 else (4, 128))
     idx = jnp.arange(d, dtype=jnp.int32)
     bits = jax.lax.bitcast_convert_type(jnp.maximum(keys, _IKEY_FLOOR), jnp.int32)
     ikey = ((bits - _IKEY_BASE) >> q_shift) * row_mult + idx

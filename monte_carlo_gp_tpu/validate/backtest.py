@@ -351,7 +351,7 @@ def simulate_season_plans(
     field width or wider).
 
     Race r uses fold_in(season_key, r) on EVERY path (one-launch Pallas
-    season, >64-driver per-race Pallas fallback, sharded XLA season), so
+    season, >128-driver per-race Pallas fallback, sharded XLA season), so
     results are bitwise independent of the path and of how many plans share
     the batch. `params_list` optionally overrides each plan's SimParams
     (same order/length as `plans`) — the parameter-sweep hook: overridden
@@ -362,7 +362,7 @@ def simulate_season_plans(
 
     if params_list is None:
         params_list = [p.params for p in plans]
-    if engine == "pallas" and max(p.n_drivers for p in params_list) <= 64:
+    if engine == "pallas" and max(p.n_drivers for p in params_list) <= 128:
         # Flagship-kernel season: ONE race-batched Pallas launch whose
         # flat tile grid spans every race (driver axis padded to the
         # widest field, per-race lap counts masking a shared compile
@@ -402,7 +402,7 @@ def simulate_season_plans(
         predictor.last_effective_sims = n_eff
         probs = list(season_probs)
     elif engine == "pallas":
-        # >64-driver fields exceed the fused kernel's rank-key packing:
+        # >128-driver fields exceed the fused kernel's rank-key packing:
         # per-race simulate_plan falls back to the XLA engine per race.
         # Per-race keys come from the SAME fold_in chain as the season
         # launch (race r of season key fold_in(r)), so the seeding

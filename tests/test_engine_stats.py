@@ -13,6 +13,8 @@ from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
 
 from oracle.reference_sim import OracleConfig, run_oracle_monte_carlo
 
+ON_TPU = jax.devices()[0].platform == "tpu"
+
 
 def scenario(d=10, seed=5):
     rng = np.random.default_rng(seed)
@@ -169,8 +171,8 @@ def test_engine_matches_native_oracle_high_n():
 @pytest.mark.slow
 def test_engine_matches_native_oracle_d40():
     """Large-field distributional anchor (D=40): the size-generic XLA engine
-    is the ONLY engine above the fused kernel's 64-driver ceiling and the
-    fallback for 33..64-driver fields off-TPU, yet every other oracle
+    is the ONLY engine above the fused kernel's 128-driver ceiling and the
+    fallback for 33..128-driver fields off-TPU, yet every other oracle
     comparison runs at D<=10 (the D=40 pallas-vs-XLA A/B is TPU-gated).
     200k native-oracle sims vs 32k engine sims at 40 drivers; bound 0.025 =
     2.2x the measured agreement (TV max 0.0112, mean-z 2.26)."""
@@ -204,6 +206,57 @@ def test_engine_matches_native_oracle_d40():
 
     tv = 0.5 * np.abs(native - engine).sum(axis=1)
     assert tv.max() < 0.025, tv
+    positions = np.arange(1, d + 1)
+    mean_n = native @ positions
+    mean_e = engine @ positions
+    var_n = native @ positions**2 - mean_n**2
+    var_e = engine @ positions**2 - mean_e**2
+    se = np.sqrt(var_n / n_nat + var_e / n_eng)
+    z = (mean_n - mean_e) / np.maximum(se, 1e-6)
+    assert (np.abs(z) < 4.5).all(), (mean_n, mean_e, z)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="XLA engine at D=80 needs TPU (CPU ~9 sims/s)")
+@pytest.mark.slow
+def test_engine_matches_native_oracle_d80():
+    """Anchor for the (Q=4, M=128) rank-key tier (65..128-row fields): the
+    XLA engine vs the native C++ oracle of the reference semantics at D=80.
+    Together with the TPU-gated D=80 pallas-vs-XLA A/B this chains the
+    widest packing tier back to the reference event model (native <-> XLA
+    <-> pallas). 100k native sims vs 16k engine sims; bounds scaled from
+    the D=40 anchor for the halved sim budgets. TPU-gated: the engine's
+    (S, D, D) rank intermediates run ~9 sims/s on host CPU at this width
+    (measured), so the CPU suite's anchor stays the D=40 test above."""
+    from monte_carlo_gp_tpu.validate.native_oracle import available, run_native_oracle
+
+    if not available():
+        pytest.skip("g++ unavailable")
+    d, laps = 80, 30
+    rng = np.random.default_rng(6)
+    grid_probs = np.zeros((d, d), np.float32)
+    for i in range(d):
+        for p in range(d):
+            grid_probs[i, p] = np.exp(-((p - i) ** 2) / 6.0)
+    grid_probs /= grid_probs.sum(axis=1, keepdims=True)
+    sc = dict(
+        grid_probs=grid_probs,
+        base_pace=(
+            90.0 + 0.05 * np.arange(d) + 0.05 * rng.standard_normal(d)
+        ).astype(np.float32),
+        tire_deg=np.clip(0.05 + 0.02 * rng.standard_normal(d), 0.01, 0.15).astype(
+            np.float32
+        ),
+        variance=np.full(d, 0.15, np.float32),
+        dnf_rate=np.full(d, 0.001, np.float32),
+        team_dnf_rate=np.full(d, 0.002, np.float32),
+    )
+    params = make_sim_params(pit_loss=21.0, overtake_delta=0.6, **sc)
+    n_nat, n_eng = 100_000, 16_384
+    native = run_native_oracle(params, seed=11, n_sims=n_nat, total_laps=laps)
+    engine = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(11), n_eng, laps))
+
+    tv = 0.5 * np.abs(native - engine).sum(axis=1)
+    assert tv.max() < 0.04, tv
     positions = np.arange(1, d + 1)
     mean_n = native @ positions
     mean_e = engine @ positions

@@ -436,13 +436,35 @@ def test_simulate_plan_pallas_handles_33_to_64_drivers():
     assert p.last_effective_sims == -(-300 // tile) * tile
 
 
-def test_simulate_plan_falls_back_to_xla_above_64_drivers():
-    """Beyond 64 drivers the rank-key packing runs out of int32 headroom:
+@pytest.mark.slow
+def test_simulate_plan_pallas_handles_65_to_128_drivers():
+    """The (Q=4, M=128) rank-key tier extends the fused kernel to 128-row
+    fields (simulation.py:59-100 is size-generic) — an 80-driver field must
+    run the PALLAS path, not fall back."""
+    from monte_carlo_gp_tpu.models import predictor as predictor_mod
+    from monte_carlo_gp_tpu.ops.pallas_engine import DEFAULT_SIMS_PER_TILE
+
+    d = 80
+    plan = _wide_field_plan(d)
+    p = _bare_predictor()
+    predictor_mod._ALLOW_PALLAS_OFF_TPU = True
+    try:
+        probs = p.simulate_plan(plan, 256, seed=0, engine="pallas")
+    finally:
+        predictor_mod._ALLOW_PALLAS_OFF_TPU = False
+    assert probs.shape == (d, d)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+    tile = min(DEFAULT_SIMS_PER_TILE, 256)
+    assert p.last_effective_sims == -(-256 // tile) * tile
+
+
+def test_simulate_plan_falls_back_to_xla_above_128_drivers():
+    """Beyond 128 drivers the rank-key packing runs out of int32 headroom:
     simulate_plan(engine='pallas') must fall back to the size-generic XLA
     engine and succeed, not raise from the pallas guard."""
     from monte_carlo_gp_tpu.models import predictor as predictor_mod
 
-    d = 65
+    d = 129
     plan = _wide_field_plan(d)
     p = _bare_predictor()
     predictor_mod._ALLOW_PALLAS_OFF_TPU = True
@@ -575,19 +597,22 @@ def test_overtake_chain_closed_form_matches_sequential_in_domain():
         np.testing.assert_allclose(clo, seq, rtol=1e-6, atol=1e-3)
 
 
-def test_overtake_chain_closed_form_high_cum_bound():
+@pytest.mark.parametrize("q_shift", [2, 4])
+def test_overtake_chain_closed_form_high_cum_bound(q_shift):
     """The documented divergence regime, PINNED (ADVICE r3): once cum
-    exceeds ~5e5 s the rank-key quantization bucket (4 ULP, Q=2 packing)
-    is wider than the 0.1 s chain step, so index-arbitrated ranks can hand
+    exceeds ~5e5 s (Q=2; proportionally lower for the wider tiers) the
+    rank-key quantization bucket (2^Q ULP) is wider than the 0.1 s chain
+    step, so index-arbitrated ranks can hand
     the chain a LOCALLY DECREASING r_cum; z is then non-monotone and the
     prefix-max can pick a different run-start than the sequential chain.
     The divergence is bounded by the bucket width: |closed - sequential|
     <= max in-bucket out-of-orderness (z[j'] and z[j_true] lie in one
-    quantization bucket). Asserted at cum ~1e6 s where 4 ULP = 0.25 s."""
+    quantization bucket). Asserted at cum ~1e6 s (4 ULP = 0.25 s at Q=2;
+    the Q=4 tier for 65..128-row fields has a 4x wider bucket)."""
     rng = np.random.default_rng(1)
     base = np.float32(1.0e6)
     ulp = np.float32(np.spacing(base))  # 0.0625 at 1e6
-    bucket = 4 * ulp  # Q=2 packing (D<=32)
+    bucket = (1 << q_shift) * ulp
     assert bucket > 0.1, (bucket, "regime premise: bucket wider than chain step")
     worst = 0.0
     diverged = 0
@@ -644,6 +669,40 @@ def test_matches_xla_engine_at_40_drivers_on_tpu():
         run_monte_carlo_pallas(params, jax.random.PRNGKey(5), n, laps)
     )
     xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(6), n, laps))
+    np.testing.assert_allclose(pallas.sum(axis=1), 1.0, atol=1e-5)
+    tv = 0.5 * np.abs(pallas - xla).sum(axis=1)
+    assert tv.max() < 0.07, tv
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires real TPU")
+@pytest.mark.slow
+def test_matches_xla_engine_at_80_drivers_on_tpu():
+    """The (Q=4, M=128) rank-key tier (65..128-row fields) must leave the
+    fused kernel distributionally equal to the size-generic XLA engine above
+    the 64-driver tier — same methodology as the D=40 test: 16k sims per
+    side, TV bound 0.07 vs a ~0.04 MC noise floor."""
+    from monte_carlo_gp_tpu.ops.engine import run_monte_carlo
+
+    d, laps, n = 80, 30, 16_384
+    rng = np.random.default_rng(10)
+    gp = np.exp(
+        -((np.arange(d)[None, :] - np.arange(d)[:, None]) ** 2) / 8.0
+    ).astype(np.float32)
+    gp /= gp.sum(1, keepdims=True)
+    params = make_sim_params(
+        grid_probs=gp,
+        base_pace=90.0 + 0.05 * np.arange(d),
+        tire_deg=np.clip(0.05 + 0.015 * rng.standard_normal(d), 0.01, 0.15),
+        variance=np.full(d, 0.15),
+        dnf_rate=np.full(d, 0.0008),
+        team_dnf_rate=np.full(d, 0.002),
+        pit_loss=21.0,
+        overtake_delta=0.6,
+    )
+    pallas = np.asarray(
+        run_monte_carlo_pallas(params, jax.random.PRNGKey(7), n, laps)
+    )
+    xla = np.asarray(run_monte_carlo(params, jax.random.PRNGKey(8), n, laps))
     np.testing.assert_allclose(pallas.sum(axis=1), 1.0, atol=1e-5)
     tv = 0.5 * np.abs(pallas - xla).sum(axis=1)
     assert tv.max() < 0.07, tv

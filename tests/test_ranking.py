@@ -3,9 +3,12 @@
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from monte_carlo_gp_tpu.ops.ranking import (
     gather_at_rank,
     rank_by,
+    rank_by_unique,
     scatter_by_rank,
     value_of_car_ahead,
 )
@@ -16,6 +19,27 @@ def test_rank_matches_stable_argsort():
     x = rng.standard_normal((64, 20)).astype(np.float32)
     ranks = np.asarray(rank_by(jnp.asarray(x)))
     expected = np.argsort(np.argsort(x, axis=-1, kind="stable"), axis=-1)
+    np.testing.assert_array_equal(ranks, expected)
+
+
+@pytest.mark.parametrize("d", [20, 40, 80, 128, 150])
+def test_rank_by_unique_tiers_match_stable_argsort(d):
+    """Every packing tier — (Q=2,M=32), (Q=3,M=64), (Q=4,M=128) — and the
+    >128 exact-lexicographic fallback must reproduce stable-argsort ranks
+    on race-scale keys separated well beyond the 2^Q-ULP quantization
+    bucket, with DNF'd cars sorting last."""
+    rng = np.random.default_rng(d)
+    # spacing >= 0.05 s at ~4e3 s: >> 16 ULP (~0.004 s), so quantization
+    # never reorders; ties are impossible by construction
+    x = (4000.0 + np.cumsum(rng.uniform(0.05, 3.0, (16, d)), axis=-1)).astype(
+        np.float32
+    )
+    perm = rng.permuted(np.broadcast_to(np.arange(d), (16, d)), axis=-1)
+    x = np.take_along_axis(x, perm, axis=-1)
+    dnf = rng.uniform(size=(16, d)) < 0.2
+    ranks = np.asarray(rank_by_unique(jnp.asarray(x), jnp.asarray(dnf)))
+    masked = np.where(dnf, np.float32(1e30), x)
+    expected = np.argsort(np.argsort(masked, axis=-1, kind="stable"), axis=-1)
     np.testing.assert_array_equal(ranks, expected)
 
 

@@ -355,7 +355,7 @@ def _widening_factory(tmp_path, widths, n_events=2):
 @pytest.mark.slow
 def test_batched_backtest_mixed_field_40_uses_season_kernel(tmp_path):
     """A mixed season whose widest field is 40 drivers stays INSIDE the
-    fused kernel's widened 64-driver rank-key packing: the pallas batched
+    fused kernel's widened rank-key packing: the pallas batched
     backtest must take the one-launch season path (narrow races padded to
     the widest field) and return valid metrics. Off-TPU this runs the
     Pallas interpreter (structure-only PRNG)."""
@@ -376,9 +376,9 @@ def test_batched_backtest_mixed_field_40_uses_season_kernel(tmp_path):
 
 
 @pytest.mark.slow
-def test_batched_backtest_mixed_field_over64_falls_back(tmp_path, caplog):
-    """One 70-driver race pushes the season past the fused kernel's
-    64-driver cap: backtest_model_batched(engine='pallas') must drop to the
+def test_batched_backtest_mixed_field_over128_falls_back(tmp_path, caplog):
+    """One 130-driver race pushes the season past the fused kernel's
+    128-driver cap: backtest_model_batched(engine='pallas') must drop to the
     per-race path, whose oversize races fall back to the XLA engine (logged
     `engine_fallback_xla` event — the degraded path is observable, not
     silent), and still return valid metrics (reference validation.py:161-209
@@ -391,9 +391,12 @@ def test_batched_backtest_mixed_field_over64_falls_back(tmp_path, caplog):
     predictor_mod._ALLOW_PALLAS_OFF_TPU = True
     try:
         with caplog.at_level(logging.INFO, logger="mcgp"):
+            # 64 sims: the oversize race runs the XLA engine on the CPU
+            # mesh, where D=130 rank passes cost ~10 ms/sim-lap — the test
+            # asserts routing + metric validity, not statistics.
             res = backtest_model_batched(
-                _widening_factory(tmp_path, [70, 20]), [2024], seed=4,
-                n_simulations=256, engine="pallas", verbose=False,
+                _widening_factory(tmp_path, [130, 20]), [2024], seed=4,
+                n_simulations=64, engine="pallas", verbose=False,
             )
     finally:
         predictor_mod._ALLOW_PALLAS_OFF_TPU = False
