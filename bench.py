@@ -13,6 +13,7 @@ JSON line.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -29,9 +30,14 @@ N_SIMS = 1_048_576
 # this process would either raise or wedge the whole bench. Probe with a
 # tiny op in a *subprocess* (so a hung backend init can be killed) under a
 # bounded retry/backoff loop before committing this process to the backend.
-PROBE_ATTEMPTS = 5
-PROBE_TIMEOUTS_S = (90, 120, 150, 180, 240)  # per-attempt subprocess budget
-PROBE_BACKOFF_S = (10, 20, 40, 60)  # sleep between attempts
+# Observed outages range from minutes to hours; the default schedule spans
+# ~28 min worst-case (a medium outage), overridable for longer waits via
+# MCGP_BENCH_PROBE_ATTEMPTS (repeats the last timeout/backoff entries).
+PROBE_TIMEOUTS_S = (90, 120, 150, 180, 240, 300, 300)  # per-attempt budget
+PROBE_BACKOFF_S = (10, 20, 40, 60, 90, 120)  # sleep between attempts
+PROBE_ATTEMPTS = int(
+    os.environ.get("MCGP_BENCH_PROBE_ATTEMPTS", len(PROBE_TIMEOUTS_S))
+)
 
 
 def log(msg: str) -> None:
@@ -52,16 +58,17 @@ def probe_backend() -> bool:
         "print(d[0].platform, v)"
     )
     for i in range(PROBE_ATTEMPTS):
+        budget = PROBE_TIMEOUTS_S[min(i, len(PROBE_TIMEOUTS_S) - 1)]
         t0 = time.perf_counter()
         try:
             out = subprocess.run(
                 [sys.executable, "-c", snippet],
                 capture_output=True, text=True,
-                timeout=PROBE_TIMEOUTS_S[i],
+                timeout=budget,
             )
         except subprocess.TimeoutExpired:
             log(f"probe {i + 1}/{PROBE_ATTEMPTS}: timed out after "
-                f"{PROBE_TIMEOUTS_S[i]}s")
+                f"{budget}s")
         else:
             dt = time.perf_counter() - t0
             if out.returncode == 0:
@@ -72,7 +79,7 @@ def probe_backend() -> bool:
             log(f"probe {i + 1}/{PROBE_ATTEMPTS}: rc={out.returncode} "
                 f"after {dt:.1f}s: {tail[-1] if tail else '?'}")
         if i < PROBE_ATTEMPTS - 1:
-            time.sleep(PROBE_BACKOFF_S[i])
+            time.sleep(PROBE_BACKOFF_S[min(i, len(PROBE_BACKOFF_S) - 1)])
     return False
 
 
