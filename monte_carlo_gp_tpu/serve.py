@@ -16,8 +16,14 @@ Design notes (TPU-first):
    program per lap bucket. `warmup()` pre-trips that compile before the
    first request.
  - Weekend plans are host-side (pandas/feature work); they are cached per
-   (season, race, prediction_point). Requests carrying grid penalties or
-   an actual grid change the plan, so those bypass the cache.
+   (season, race, prediction_point) in a bounded LRU (`plan_cache_size`)
+   with an optional freshness TTL (`plan_ttl_s`) — over a live weekend new
+   sessions land on disk, and `prepare_weekend` picks them up on rebuild
+   (the loader's frame cache is (path, mtime, size)-keyed), so an expired
+   entry re-prepares instead of serving Friday's plan all weekend.
+   `invalidate()` (HTTP: POST /invalidate) evicts explicitly. Requests
+   carrying grid penalties or an actual grid change the plan, so those
+   bypass the cache.
  - Device access is serialized by a lock: JAX dispatch from multiple
    threads interleaves safely but brings no throughput (one chip), so the
    HTTP front-end (repo-root `serve.py`) stays single-threaded and the
@@ -31,6 +37,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import OrderedDict
 
 from monte_carlo_gp_tpu.models.safety import (
     InsufficientDataError,
@@ -214,12 +221,22 @@ class PredictionService:
         default_simulations: int = 10_000,
         safe: bool = True,
         max_simulations: int = 4_194_304,
+        plan_cache_size: int = 64,
+        plan_ttl_s: float | None = None,
     ):
         self.predictor = predictor
         self.default_simulations = int(default_simulations)
         self.max_simulations = int(max_simulations)
         self.safe = safe
-        self._plans: dict[tuple, object] = {}
+        if plan_cache_size < 1:
+            raise ValueError("plan_cache_size must be >= 1")
+        self.plan_cache_size = int(plan_cache_size)
+        self.plan_ttl_s = None if plan_ttl_s is None else float(plan_ttl_s)
+        # LRU of (plan, prepared_at_monotonic); bounded so a client looping
+        # over distinct weekends cannot grow device+host memory without
+        # limit, TTL'd so a resident server re-prepares once newer session
+        # data can exist instead of serving the first-request plan forever.
+        self._plans: OrderedDict[tuple, tuple[object, float]] = OrderedDict()
         self._lock = threading.Lock()
         self.stats = {
             "requests": 0,
@@ -229,24 +246,63 @@ class PredictionService:
             "errors": 0,
             "plan_cache_hits": 0,
             "plan_cache_misses": 0,
+            "plan_cache_evictions": 0,
         }
 
     # -- plan cache -----------------------------------------------------------
 
     def plan_for(self, season: int, race: str, prediction_point: str):
         """Prepared weekend for a bare request, cached per (season, race,
-        point). Raises InsufficientDataError when the data layer is empty."""
+        point) in the bounded LRU (fresh-by-TTL when `plan_ttl_s` is set).
+        Raises InsufficientDataError when the data layer is empty."""
         key = (season, race, prediction_point)
-        plan = self._plans.get(key)
-        if plan is not None:
-            self.stats["plan_cache_hits"] += 1
-            return plan
+        entry = self._plans.get(key)
+        if entry is not None:
+            plan, prepared_at = entry
+            if (
+                self.plan_ttl_s is None
+                or time.monotonic() - prepared_at < self.plan_ttl_s
+            ):
+                self._plans.move_to_end(key)
+                self.stats["plan_cache_hits"] += 1
+                return plan
+            # Expired: fall through to a fresh prepare (which re-reads any
+            # session files that changed on disk) and replace the entry.
+            del self._plans[key]
         self.stats["plan_cache_misses"] += 1
         plan = self.predictor.prepare_weekend(
             season, race, prediction_point=prediction_point
         )
-        self._plans[key] = plan
+        self._plans[key] = (plan, time.monotonic())
+        while len(self._plans) > self.plan_cache_size:
+            self._plans.popitem(last=False)
+            self.stats["plan_cache_evictions"] += 1
         return plan
+
+    def invalidate(
+        self,
+        season: int | None = None,
+        race: str | None = None,
+        prediction_point: str | None = None,
+    ) -> int:
+        """Evict cached plans matching the given fields (None matches any);
+        no arguments clears the whole cache. Returns the eviction count."""
+        with self._lock:
+            keys = [
+                k
+                for k in self._plans
+                if (season is None or k[0] == season)
+                and (race is None or k[1] == race)
+                and (prediction_point is None or k[2] == prediction_point)
+            ]
+            for k in keys:
+                del self._plans[k]
+        if keys:
+            log_event(
+                "serve_invalidate", count=len(keys), season=season, race=race,
+                prediction_point=prediction_point,
+            )
+        return len(keys)
 
     def warmup(self, season: int, race: str, prediction_point: str = "fp2"):
         """Pre-trip the pipeline AND the engine compile for one weekend so
@@ -256,8 +312,13 @@ class PredictionService:
         to it, so warming a different count would not help steady traffic.
         """
         t0 = time.perf_counter()
-        plan = self.plan_for(season, race, prediction_point)
-        self.predictor.simulate_plan(plan, self.default_simulations, seed=0)
+        # Same lock as predict(): warmup may be invoked while serving (an
+        # operator re-warming at runtime, or a threaded front-end swap-in),
+        # and both the plan cache and the predictor's per-call state
+        # (last_effective_sims) must not interleave with a live request.
+        with self._lock:
+            plan = self.plan_for(season, race, prediction_point)
+            self.predictor.simulate_plan(plan, self.default_simulations, seed=0)
         dt = time.perf_counter() - t0
         log_event(
             "serve_warmup", season=season, race=race,
@@ -355,10 +416,30 @@ class PredictionService:
             raise ServeError(
                 f"n_simulations must be in (0, {self.max_simulations}]"
             )
+        if not (-(2**63) <= seed < 2**63):
+            # jax.random.PRNGKey overflows outside int64; reject as a
+            # client error instead of surfacing a 500.
+            raise ServeError("'seed' must fit in a signed 64-bit integer")
         penalties = request.get("grid_penalties") or None
         actual_grid = request.get("actual_grid") or None
-        if penalties is not None and not isinstance(penalties, dict):
-            raise ServeError("'grid_penalties' must be an object")
+        if penalties is not None:
+            if not isinstance(penalties, dict):
+                raise ServeError("'grid_penalties' must be an object")
+            checked = {}
+            for d, v in penalties.items():
+                # config.resolve_penalty takes positions (ints) or penalty
+                # type names (strings); anything else would 500 downstream.
+                if isinstance(v, str):
+                    checked[str(d)] = v
+                else:
+                    try:
+                        checked[str(d)] = int(v)
+                    except (TypeError, ValueError):
+                        raise ServeError(
+                            "'grid_penalties' values must be integers or "
+                            "penalty-type names"
+                        )
+            penalties = checked
         if actual_grid is not None:
             if not isinstance(actual_grid, dict):
                 raise ServeError("'actual_grid' must be an object")

@@ -21,6 +21,11 @@ Endpoints:
     POST /predict   JSON request -> the predict_weekend result dict plus a
                     "server" metadata block; same seed => same probabilities
                     (the engine's bitwise reproducibility contract).
+    POST /invalidate  evict cached weekend plans ({"season": ..., "race":
+                    ..., "prediction_point": ...}, each optional; empty
+                    body clears all) -> {"evicted": N}. Weekend plans are
+                    also bounded-LRU cached (--plan-cache-size) and
+                    optionally re-prepared after --plan-ttl seconds.
 
 The HTTP layer is deliberately single-threaded: one chip serializes the
 Monte Carlo anyway, and the service's own lock guards device access if a
@@ -110,7 +115,7 @@ def make_handler(service):
                 self._reply(404, {"error": f"no such endpoint: {self.path}"})
 
         def do_POST(self):  # noqa: N802 (http.server API)
-            if self.path != "/predict":
+            if self.path not in ("/predict", "/invalidate"):
                 self._reply(404, {"error": f"no such endpoint: {self.path}"})
                 return
             try:
@@ -124,6 +129,23 @@ def make_handler(service):
                 request = json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"invalid JSON body: {e}"})
+                return
+            if self.path == "/invalidate":
+                if not isinstance(request, dict):
+                    self._reply(400, {"error": "body must be a JSON object"})
+                    return
+                try:
+                    season = request.get("season")
+                    season = None if season is None else int(season)
+                    race = request.get("race")
+                    race = None if race is None else str(race)
+                    point = request.get("prediction_point")
+                    point = None if point is None else str(point)
+                except (TypeError, ValueError) as e:
+                    self._reply(400, {"error": f"invalid field: {e}"})
+                    return
+                evicted = service.invalidate(season, race, point)
+                self._reply(200, {"evicted": evicted})
                 return
             status, payload = service.predict(request)
             self._reply(status, payload)
@@ -152,6 +174,16 @@ def main():
              "(e.g. 2024:Bahrain 2024:Monaco:quali; flag may repeat)",
     )
     parser.add_argument(
+        "--plan-ttl", type=float, default=None, metavar="SECONDS",
+        help="Freshness TTL for cached weekend plans: an older plan is "
+             "re-prepared on next request so newly-landed session data is "
+             "picked up (default: cache forever)",
+    )
+    parser.add_argument(
+        "--plan-cache-size", type=int, default=64,
+        help="Max cached weekend plans (LRU eviction beyond this)",
+    )
+    parser.add_argument(
         "--no-safe", action="store_true",
         help="Return 422 on weekends with no usable data instead of "
              "degrading to uniform fallback predictions",
@@ -178,6 +210,8 @@ def main():
         predictor,
         default_simulations=args.simulations,
         safe=not args.no_safe,
+        plan_cache_size=args.plan_cache_size,
+        plan_ttl_s=args.plan_ttl,
     )
 
     for spec in args.warm:

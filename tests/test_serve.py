@@ -85,11 +85,18 @@ def test_request_validation(service):
         {"season": 2024, "race": "Bahrain", "n_simulations": "many"},
         {"season": 2024, "race": "Bahrain", "actual_grid": {"VER": "P1"}},
         {"season": 2024, "race": "Bahrain", "grid_penalties": [5]},
+        # In-contract-looking values that would 500 downstream without
+        # explicit validation (resolve_penalty TypeError, PRNGKey overflow).
+        {"season": 2024, "race": "Bahrain", "grid_penalties": {"VER": None}},
+        {"season": 2024, "race": "Bahrain", "grid_penalties": {"VER": [3]}},
+        {"season": 2024, "race": "Bahrain", "seed": 2**64},
     ):
         status, payload = service.predict(bad)
         assert status == 400, bad
         assert "error" in payload
-    assert service.stats["rejected"] >= 7
+    assert service.stats["rejected"] >= 10
+    # Client errors must never count as server faults.
+    assert service.stats["errors"] == 0
 
 
 def test_fallback_and_strict_modes(tmp_path):
@@ -107,6 +114,62 @@ def test_fallback_and_strict_modes(tmp_path):
     status, payload = strict.predict({"season": 2024, "race": "Bahrain"})
     assert status == 422
     assert "No practice data" in payload["error"]
+
+
+def test_plan_cache_lru_bound(tmp_path):
+    """The plan cache is bounded: requesting more distinct weekends than
+    plan_cache_size evicts the least-recently-used entries instead of
+    growing without limit (every synthetic season yields data, so a client
+    looping over seasons would otherwise retain a plan per season)."""
+    predictor = F1Predictor(
+        cache_dir=tmp_path, backend=SyntheticBackend(seed=5, n_events=3)
+    )
+    svc = PredictionService(
+        predictor, default_simulations=64, plan_cache_size=2
+    )
+    # The three weekends the n_events=3 synthetic world has data for.
+    for race in ("Bahrain", "Saudi Arabia", "Australia"):
+        status, _ = svc.predict({"season": 2024, "race": race, "seed": 1})
+        assert status == 200
+    assert len(svc._plans) == 2
+    assert svc.stats["plan_cache_evictions"] == 1
+    # Bahrain (oldest) was evicted; re-requesting it is a miss...
+    misses = svc.stats["plan_cache_misses"]
+    svc.predict({"season": 2024, "race": "Bahrain", "seed": 1})
+    assert svc.stats["plan_cache_misses"] == misses + 1
+    # ...and Australia (most recent) is still a hit.
+    hits = svc.stats["plan_cache_hits"]
+    svc.predict({"season": 2024, "race": "Australia", "seed": 1})
+    assert svc.stats["plan_cache_hits"] == hits + 1
+
+
+def test_plan_cache_ttl_refreshes(tmp_path):
+    """With a TTL set, an expired plan re-prepares on the next request (so
+    a resident server picks up session data that landed after the first
+    request) and the refreshed result is identical on unchanged data."""
+    predictor = F1Predictor(
+        cache_dir=tmp_path, backend=SyntheticBackend(seed=5, n_events=3)
+    )
+    svc = PredictionService(predictor, default_simulations=64, plan_ttl_s=0.0)
+    _, p1 = svc.predict({"season": 2024, "race": "Bahrain", "seed": 2})
+    misses = svc.stats["plan_cache_misses"]
+    _, p2 = svc.predict({"season": 2024, "race": "Bahrain", "seed": 2})
+    assert svc.stats["plan_cache_misses"] == misses + 1  # expired -> re-prep
+    assert p1["full_distributions"] == p2["full_distributions"]
+    assert len(svc._plans) == 1  # replaced, not accumulated
+
+
+def test_invalidate_evicts_matching_plans(service):
+    service.plan_for(2024, "Bahrain", "fp2")
+    service.plan_for(2024, "Saudi Arabia", "fp2")
+    assert service.invalidate(race="Nowhere") == 0
+    assert service.invalidate(season=2024, race="Bahrain") == 1
+    misses = service.stats["plan_cache_misses"]
+    service.predict({"season": 2024, "race": "Bahrain", "seed": 1})
+    assert service.stats["plan_cache_misses"] == misses + 1
+    # No-argument invalidate clears everything left.
+    assert service.invalidate() >= 1
+    assert not service._plans
 
 
 def test_warmup_prepares_and_compiles(service):
@@ -214,6 +277,17 @@ def test_serve_http_end_to_end(tmp_path):
 
         status, _ = _get(f"{base}/nope")
         assert status == 404
+
+        # Plan invalidation round-trip: evict the warmed Bahrain plan, then
+        # a repeat request re-prepares and reproduces the same result.
+        status, inv = _post(f"{base}/invalidate", {"race": "Bahrain"})
+        assert status == 200 and inv["evicted"] == 1
+        s3, r3 = _post(f"{base}/predict", body)
+        assert s3 == 200 and r3["full_distributions"] == r1["full_distributions"]
+        status, inv = _post(f"{base}/invalidate", {"race": "Nowhere"})
+        assert status == 200 and inv["evicted"] == 0
+        status, err = _post(f"{base}/invalidate", {"season": "x"})
+        assert status == 400
 
         # A hostile Content-Length is rejected up front (413) without the
         # single serving thread ever trying to read the body.
