@@ -280,17 +280,9 @@ def backtest_model_batched(
             predictor, plans, season_key, n_simulations,
             engine=engine, mesh=mesh,
         )
-        for plan, act, p in zip(plans, acts, probs):
-            d = len(plan.drivers)
-            pred = predictor.assemble_result(plan, p[:d, :d])
-            predictions.append(
-                {
-                    "pole_probabilities": pred["pole_probabilities"],
-                    "win_probabilities": pred["win_probabilities"],
-                    "podium_probabilities": pred["podium_probabilities"],
-                }
-            )
-            actuals.append(act)
+        preds, a = score_season_plans(predictor, plans, acts, probs)
+        predictions.extend(preds)
+        actuals.extend(a)
 
     return {
         "pole_brier": brier_score(
@@ -305,6 +297,28 @@ def backtest_model_batched(
         "calibration_curve": calibration_analysis(predictions, actuals),
         "n_races": len(predictions),
     }
+
+
+def score_season_plans(predictor, plans, acts, probs) -> tuple[list, list]:
+    """Assemble the per-race probability dicts from a season batch's padded
+    histograms — the ONE scoring boundary shared by `backtest_model_batched`
+    and the parameter sweep (`validate/tune.py`), so any change to the
+    padded-matrix slicing or the kept probability dicts lands once. Each
+    race's histogram is sliced to its real field (`p[:d, :d]`: the season
+    batch pads the driver axis to the widest field) before assembly."""
+    predictions, actuals = [], []
+    for plan, act, p in zip(plans, acts, probs):
+        d = len(plan.drivers)
+        pred = predictor.assemble_result(plan, p[:d, :d])
+        predictions.append(
+            {
+                "pole_probabilities": pred["pole_probabilities"],
+                "win_probabilities": pred["win_probabilities"],
+                "podium_probabilities": pred["podium_probabilities"],
+            }
+        )
+        actuals.append(act)
+    return predictions, actuals
 
 
 def prepare_season_plans(

@@ -40,6 +40,7 @@ from monte_carlo_gp_tpu.config import SimParams
 from monte_carlo_gp_tpu.utils.logging import log_event
 from monte_carlo_gp_tpu.validate.backtest import (
     prepare_season_plans,
+    score_season_plans,
     simulate_season_plans,
 )
 from monte_carlo_gp_tpu.validate.metrics import brier_score, podium_accuracy
@@ -113,21 +114,6 @@ def expand_grid(param_grid: dict[str, Sequence[float]]) -> list[dict[str, float]
     ]
 
 
-def _score(predictor, plans, acts, probs) -> tuple[list, list]:
-    predictions = []
-    for plan, p in zip(plans, probs):
-        d = len(plan.drivers)
-        pred = predictor.assemble_result(plan, p[:d, :d])
-        predictions.append(
-            {
-                "pole_probabilities": pred["pole_probabilities"],
-                "win_probabilities": pred["win_probabilities"],
-                "podium_probabilities": pred["podium_probabilities"],
-            }
-        )
-    return predictions, list(acts)
-
-
 def sweep_backtest(
     predictor_factory,
     seasons: list[int],
@@ -152,8 +138,12 @@ def sweep_backtest(
     Args:
       param_grid: {sweep key: [values...]}; configs are the Cartesian
         product. See SCALAR_KEYS / SCALE_KEYS.
-      metric: 'win_brier' (default), 'pole_brier', or 'podium_accuracy' —
-        what `best` minimizes (or maximizes, for accuracy metrics).
+      metric: 'win_brier' (default) or 'podium_accuracy' — what `best`
+        minimizes (or maximizes, for accuracy metrics). 'pole_brier' is
+        REJECTED as a ranking target: race-sim scalars cannot reach the
+        quali model, so it is identical across configs (the module's
+        built-in self-check) and 'best' would degenerate to grid order.
+        It is still reported on every record.
       include_default: also evaluate the un-overridden configuration (it
         reproduces `backtest_model_batched` exactly) and report it as
         `default` for before/after comparison.
@@ -168,7 +158,14 @@ def sweep_backtest(
     configs = expand_grid(param_grid)
     if not configs:
         raise ValueError("param_grid produced no configurations")
-    if metric not in ("win_brier", "pole_brier", "podium_accuracy"):
+    if metric == "pole_brier":
+        raise ValueError(
+            "pole_brier cannot rank a sweep: race-sim scalars do not affect "
+            "quali probabilities, so it is identical for every config "
+            "(it is still reported on each record); rank by 'win_brier' "
+            "or 'podium_accuracy'"
+        )
+    if metric not in ("win_brier", "podium_accuracy"):
         raise ValueError(f"unknown metric {metric!r}")
 
     # Phase 1 (host, once): leakage-correct walk-forward prep per season.
@@ -195,7 +192,7 @@ def sweep_backtest(
                 predictor, plans, season_key, n_simulations,
                 engine=engine, mesh=mesh, params_list=params_list,
             )
-            preds, a = _score(predictor, plans, acts, probs)
+            preds, a = score_season_plans(predictor, plans, acts, probs)
             predictions.extend(preds)
             actuals.extend(a)
         rec = {

@@ -79,6 +79,13 @@ def test_sweep_rejects_empty_grid_and_bad_metric(tmp_path):
         sweep_backtest(
             _factory(tmp_path), [2024], {"sc_prob": [0.01]}, metric="vibes"
         )
+    # pole_brier is config-invariant (race-sim scalars cannot reach the
+    # quali model), so ranking by it would silently return grid order.
+    with pytest.raises(ValueError, match="pole_brier cannot rank"):
+        sweep_backtest(
+            _factory(tmp_path), [2024], {"sc_prob": [0.01]},
+            metric="pole_brier",
+        )
 
 
 # -- the sweep itself ---------------------------------------------------------

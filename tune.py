@@ -51,7 +51,10 @@ def main():
              "tire_deg_scale, dnf_scale, team_dnf_scale)",
     )
     parser.add_argument(
-        "--metric", choices=["win_brier", "pole_brier", "podium_accuracy"],
+        # pole_brier is not offered: race-sim scalars cannot affect quali
+        # probabilities, so it is identical across configs (sweep_backtest
+        # rejects it; it is still reported on every record).
+        "--metric", choices=["win_brier", "podium_accuracy"],
         default="win_brier",
     )
     parser.add_argument("--seed", type=int, default=42)
