@@ -7,6 +7,23 @@ Baseline: the reference (dan-lee-gh/monte-carlo-gp) is a serial pure-Python
 engine that completes ~10k sims in minutes-order time on CPU — order 500
 sims/sec (BASELINE.md "reference comparison point"). vs_baseline = value/500.
 
+Deadline-aware by construction (VERDICT r4 #1): the whole run fits inside a
+total wall-clock budget (MCGP_BENCH_BUDGET_S, default 600 s) so the driver's
+command window can never expire before the JSON line lands. The budget is
+split between a TPU-outage probe phase and the bench body:
+
+  - probes run in killable subprocesses with escalating timeouts, but each
+    is clamped so that a body reserve always remains inside the budget;
+  - the body itself runs in a subprocess with a hard timeout — if the
+    tunnel dies mid-measurement (ABORTED on every device touch, see
+    CLAUDE.md outage signature) the parent still prints well-formed JSON
+    with an explicit outage marker instead of dying rc!=0 / rc=124;
+  - when recovery comes late, the body shrinks: fewer warm reps, then a
+    262k-sim shape (still resolves M-sims/s to ~1%), then 65k.
+
+Exit code is 0 whenever a JSON line was printed (including the outage
+marker) so the driver's `parsed` field is never null.
+
 Run on real TPU hardware (the default interpreter here registers the TPU
 backend). Human-readable diagnostics go to stderr; stdout carries only the
 JSON line.
@@ -18,30 +35,38 @@ import subprocess
 import sys
 import time
 
-import numpy as np
-
+METRIC = "race_sims_per_sec_per_chip_20drv_57laps"
 REFERENCE_SIMS_PER_SEC = 500.0  # serial Python reference, CPU (BASELINE.md)
 N_DRIVERS = 20
 TOTAL_LAPS = 57
-N_SIMS = 1_048_576
+N_SIMS_FULL = 1_048_576
 
-# Tunnel-outage resilience (VERDICT r3 #1): the remote TPU backend can be
-# transiently UNAVAILABLE or hang for minutes; a one-shot jax.devices() in
-# this process would either raise or wedge the whole bench. Probe with a
-# tiny op in a *subprocess* (so a hung backend init can be killed) under a
-# bounded retry/backoff loop before committing this process to the backend.
-# Observed outages range from minutes to hours; the default schedule spans
-# ~28 min worst-case (a medium outage), overridable for longer waits via
-# MCGP_BENCH_PROBE_ATTEMPTS (repeats the last timeout/backoff entries).
-PROBE_TIMEOUTS_S = (90, 120, 150, 180, 240, 300, 300)  # per-attempt budget
-PROBE_BACKOFF_S = (10, 20, 40, 60, 90, 120)  # sleep between attempts
-PROBE_ATTEMPTS = int(
-    os.environ.get("MCGP_BENCH_PROBE_ATTEMPTS", len(PROBE_TIMEOUTS_S))
-)
+TOTAL_BUDGET_S = float(os.environ.get("MCGP_BENCH_BUDGET_S", "600"))
+_START = time.monotonic()
+
+# Escalating per-attempt probe timeouts; the deadline clamps each one so a
+# body reserve always survives. Backoffs between failed attempts let a
+# medium outage clear. (Observed outages range from minutes to hours; a
+# multi-hour outage is reported as such, not waited out.)
+PROBE_TIMEOUTS_S = (60, 90, 120, 150, 180, 240, 300, 300, 300, 300)
+PROBE_BACKOFF_S = (5, 10, 20, 30, 45, 60, 60, 60, 60)
+BODY_RESERVE_S = 90.0  # keep at least this much budget for the body
+# (90 s fits the minimal plan — 65k sims, 1 warm rep — on a just-recovered
+# tunnel with a warm persistent compile cache; everything above it is spent
+# probing, which maximizes the chance of a real number on a flaky day.)
+FINAL_MARGIN_S = 10.0   # parent bookkeeping / JSON print headroom
+
+
+def remaining() -> float:
+    return TOTAL_BUDGET_S - (time.monotonic() - _START)
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def emit(record: dict) -> None:
+    print(json.dumps(record), flush=True)
 
 
 def probe_backend() -> bool:
@@ -49,7 +74,9 @@ def probe_backend() -> bool:
 
     Each attempt runs in a fresh subprocess with a hard timeout, because a
     sick tunnel makes backend init *hang* (observed >9 min) rather than
-    fail fast, and a poisoned in-process backend cannot be retried.
+    fail fast, and a poisoned in-process backend cannot be retried. The
+    schedule is sized to the budget: no attempt (or backoff) may eat into
+    the body reserve.
     """
     snippet = (
         "import jax, numpy as np, jax.numpy as jnp;"
@@ -57,8 +84,14 @@ def probe_backend() -> bool:
         "v = float(np.asarray(jnp.ones(8).sum()));"
         "print(d[0].platform, v)"
     )
-    for i in range(PROBE_ATTEMPTS):
+    i = 0
+    while True:
         budget = PROBE_TIMEOUTS_S[min(i, len(PROBE_TIMEOUTS_S) - 1)]
+        budget = min(budget, remaining() - BODY_RESERVE_S)
+        if budget < 15:
+            log(f"probe schedule exhausted (remaining {remaining():.0f}s, "
+                f"reserve {BODY_RESERVE_S:.0f}s)")
+            return False
         t0 = time.perf_counter()
         try:
             out = subprocess.run(
@@ -67,21 +100,41 @@ def probe_backend() -> bool:
                 timeout=budget,
             )
         except subprocess.TimeoutExpired:
-            log(f"probe {i + 1}/{PROBE_ATTEMPTS}: timed out after "
-                f"{budget}s")
+            log(f"probe {i + 1}: timed out after {budget:.0f}s")
         else:
             dt = time.perf_counter() - t0
             if out.returncode == 0:
-                log(f"probe {i + 1}/{PROBE_ATTEMPTS}: ok in {dt:.1f}s "
+                log(f"probe {i + 1}: ok in {dt:.1f}s "
                     f"({out.stdout.strip()})")
                 return True
             tail = (out.stderr or "").strip().splitlines()
-            log(f"probe {i + 1}/{PROBE_ATTEMPTS}: rc={out.returncode} "
-                f"after {dt:.1f}s: {tail[-1] if tail else '?'}")
-        if i < PROBE_ATTEMPTS - 1:
-            time.sleep(PROBE_BACKOFF_S[min(i, len(PROBE_BACKOFF_S) - 1)])
-    return False
+            log(f"probe {i + 1}: rc={out.returncode} after {dt:.1f}s: "
+                f"{tail[-1] if tail else '?'}")
+        backoff = PROBE_BACKOFF_S[min(i, len(PROBE_BACKOFF_S) - 1)]
+        time.sleep(min(backoff, max(0.0, remaining() - BODY_RESERVE_S)))
+        i += 1
 
+
+def plan_body(budget_s: float) -> dict:
+    """Size the measurement to the time actually left.
+
+    262k sims still resolve M-sims/s to ~1% at the measured ~0.35 s/M-sim
+    kernel rate, so shrinking trades a little resolution for a guaranteed
+    artifact.
+    """
+    if budget_s >= 300:
+        return {"n_sims": N_SIMS_FULL, "warm": 4, "xla": True}
+    if budget_s >= 180:
+        return {"n_sims": N_SIMS_FULL, "warm": 2, "xla": False}
+    if budget_s >= 90:
+        return {"n_sims": 262_144, "warm": 2, "xla": False}
+    return {"n_sims": 65_536, "warm": 1, "xla": False}
+
+
+# ---------------------------------------------------------------------------
+# Body: the actual measurement, run as a subprocess of the orchestrator so a
+# mid-measurement tunnel death cannot take the JSON line with it.
+# ---------------------------------------------------------------------------
 
 def standard_params():
     # Single source of truth for the scored scenario, shared with every
@@ -92,20 +145,8 @@ def standard_params():
     return _std(N_DRIVERS)
 
 
-def main() -> None:
-    if not probe_backend():
-        log("backend unreachable after bounded probe/retry; emitting "
-            "structured failure")
-        print(json.dumps({
-            "metric": "race_sims_per_sec_per_chip_20drv_57laps",
-            "value": None,
-            "unit": "sims/s",
-            "vs_baseline": None,
-            "error": "backend_unavailable_after_probe_retries",
-            "probe_attempts": PROBE_ATTEMPTS,
-        }))
-        sys.exit(2)
-
+def run_body(n_sims: int, warm: int, want_xla: bool) -> None:
+    import numpy as np
     import jax
 
     devices = jax.devices()
@@ -120,7 +161,7 @@ def main() -> None:
         from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas
 
         def run(k):
-            return run_monte_carlo_pallas(params, k, N_SIMS, TOTAL_LAPS)
+            return run_monte_carlo_pallas(params, k, n_sims, TOTAL_LAPS)
 
         log("backend: pallas (fused whole-race kernel)")
     else:
@@ -128,8 +169,8 @@ def main() -> None:
 
         def run(k):
             return run_monte_carlo(
-                params, k, N_SIMS, TOTAL_LAPS,
-                sims_per_block=min(DEFAULT_BLOCK, N_SIMS),
+                params, k, n_sims, TOTAL_LAPS,
+                sims_per_block=min(DEFAULT_BLOCK, n_sims),
             )
 
         log("backend: xla lap-scan")
@@ -155,10 +196,12 @@ def main() -> None:
     compile_s = time.perf_counter() - t0
     log(f"cold (compile+run): {compile_s:.2f}s")
 
-    # Best of 4 warm runs with distinct keys; np.asarray forces full host
+    # Best of `warm` runs with distinct keys; np.asarray forces full host
     # materialization (block_until_ready alone under-reports on the remote
     # TPU tunnel).
-    warm_keys = [jax.device_put(jax.random.fold_in(key, i)) for i in range(4)]
+    warm_keys = [
+        jax.device_put(jax.random.fold_in(key, i)) for i in range(warm)
+    ]
     times = []
     for k in warm_keys:
         t0 = time.perf_counter()
@@ -168,9 +211,9 @@ def main() -> None:
 
     assert np.allclose(arr.sum(axis=1), 1.0, atol=1e-4), "invalid histogram"
 
-    sims_per_sec = N_SIMS / best
+    sims_per_sec = n_sims / best
     log(
-        f"{N_SIMS} sims x {TOTAL_LAPS} laps x {N_DRIVERS} drivers: "
+        f"{n_sims} sims x {TOTAL_LAPS} laps x {N_DRIVERS} drivers: "
         f"best {best:.3f}s -> {sims_per_sec/1e6:.3f}M sims/s/chip "
         f"(runs: {[f'{t:.3f}' for t in times]})"
     )
@@ -178,10 +221,10 @@ def main() -> None:
     # Secondary metric: the XLA lap-scan engine (the portable path) is
     # regression-tracked alongside the flagship kernel (VERDICT r1 #9).
     xla_sims_per_sec = None
-    if on_tpu:
+    if on_tpu and want_xla:
         from monte_carlo_gp_tpu.ops.engine import DEFAULT_BLOCK, run_monte_carlo
 
-        n_xla = N_SIMS // 4
+        n_xla = n_sims // 4
 
         def run_xla(k):
             return run_monte_carlo(
@@ -202,7 +245,7 @@ def main() -> None:
         log(f"xla engine: {xla_sims_per_sec/1e6:.3f}M sims/s/chip")
 
     record = {
-        "metric": "race_sims_per_sec_per_chip_20drv_57laps",
+        "metric": METRIC,
         "value": round(sims_per_sec, 1),
         "unit": "sims/s",
         "vs_baseline": round(sims_per_sec / REFERENCE_SIMS_PER_SEC, 1),
@@ -211,11 +254,70 @@ def main() -> None:
         # a Mosaic bitcast pathology, bisected + fixed in round 3); tracked
         # here so any regression is visible to the driver.
         "cold_s": round(compile_s, 2),
+        "n_sims": n_sims,
     }
     if xla_sims_per_sec is not None:
         record["xla_sims_per_sec"] = xla_sims_per_sec
-    print(json.dumps(record))
+    emit(record)
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+def outage_record(reason: str, **extra) -> dict:
+    rec = {
+        "metric": METRIC,
+        "value": None,
+        "unit": "sims/s",
+        "vs_baseline": None,
+        "error": reason,
+        "budget_s": TOTAL_BUDGET_S,
+        "elapsed_s": round(time.monotonic() - _START, 1),
+    }
+    rec.update(extra)
+    return rec
+
+
+def main() -> None:
+    if not probe_backend():
+        log("backend unreachable within budget; emitting structured outage")
+        emit(outage_record("tpu_outage"))
+        return  # exit 0: the artifact exists; the outage is the result
+
+    body_budget = remaining() - FINAL_MARGIN_S
+    plan = plan_body(body_budget)
+    log(f"body plan: {plan} (budget {body_budget:.0f}s)")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--body",
+             str(plan["n_sims"]), str(plan["warm"]),
+             "1" if plan["xla"] else "0"],
+            capture_output=True, text=True,
+            timeout=max(30.0, body_budget),
+        )
+    except subprocess.TimeoutExpired as e:
+        tail = ((e.stderr or b"").decode(errors="replace")
+                if isinstance(e.stderr, bytes) else (e.stderr or ""))
+        log(tail)
+        emit(outage_record("tpu_outage_mid_bench", stage="body_timeout"))
+        return
+    log(out.stderr.rstrip())
+    line = next(
+        (ln for ln in reversed(out.stdout.splitlines())
+         if ln.startswith("{")), None)
+    if out.returncode == 0 and line is not None:
+        print(line, flush=True)
+        return
+    tail = (out.stderr or "").strip().splitlines()
+    emit(outage_record(
+        "bench_body_failed", rc=out.returncode,
+        detail=(tail[-1][:300] if tail else "?"),
+    ))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--body":
+        run_body(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4] == "1")
+    else:
+        main()
