@@ -35,10 +35,13 @@ The HTTP front-end lives at the repo root (`serve.py`) to mirror the
 
 from __future__ import annotations
 
+import subprocess
+import sys
 import threading
 import time
 from collections import OrderedDict
 
+from monte_carlo_gp_tpu.config import PENALTY_TYPES
 from monte_carlo_gp_tpu.models.safety import (
     InsufficientDataError,
     generate_fallback_predictions,
@@ -49,9 +52,40 @@ __all__ = ["PredictionService", "ServeError", "dashboard_html"]
 
 _VALID_POINTS = ("fp1", "fp2", "fp3", "quali", "sprint")
 
+# TPU-tunnel outage signature (CLAUDE.md): every device touch — even an
+# array upload — raises ABORTED/UNAVAILABLE for minutes to hours. These
+# surface as jaxlib XlaRuntimeError (a RuntimeError subclass) with the
+# status name in the message.
+_OUTAGE_MARKERS = ("ABORTED", "UNAVAILABLE", "TPU backend error")
+
+
+def _is_backend_outage(exc: BaseException) -> bool:
+    """True when `exc` matches the TPU-backend outage signature."""
+    if not isinstance(exc, RuntimeError) and type(exc).__name__ not in (
+        "XlaRuntimeError",
+        "JaxRuntimeError",
+    ):
+        return False
+    msg = str(exc)
+    return any(marker in msg for marker in _OUTAGE_MARKERS)
+
 
 class ServeError(ValueError):
     """A request the service rejects (maps to HTTP 400)."""
+
+
+def _integral(value, field: str) -> int:
+    """Coerce a JSON number to int, rejecting bools and non-integral
+    floats (silent truncation of 5.7 grid slots is a client bug)."""
+    if isinstance(value, bool):
+        raise ServeError(f"{field} values must be integers")
+    try:
+        as_int = int(value)
+    except (TypeError, ValueError):
+        raise ServeError(f"{field} values must be integers")
+    if isinstance(value, float) and value != as_int:
+        raise ServeError(f"{field} values must be integral (got {value})")
+    return as_int
 
 
 def dashboard_html() -> str:
@@ -223,6 +257,9 @@ class PredictionService:
         max_simulations: int = 4_194_304,
         plan_cache_size: int = 64,
         plan_ttl_s: float | None = None,
+        outage_cooldown_s: float = 30.0,
+        outage_fallback: bool = False,
+        outage_probe_timeout_s: float = 20.0,
     ):
         self.predictor = predictor
         self.default_simulations = int(default_simulations)
@@ -232,6 +269,17 @@ class PredictionService:
             raise ValueError("plan_cache_size must be >= 1")
         self.plan_cache_size = int(plan_cache_size)
         self.plan_ttl_s = None if plan_ttl_s is None else float(plan_ttl_s)
+        # Outage policy (VERDICT r4 #7): once a device touch raises the
+        # outage signature, requests are answered instantly — 503 with a
+        # retry-after (or, opt-in, the safety fallback result) — for a
+        # cooldown window, so the single serving thread never queues up on
+        # a dead backend. After the window, ONE subprocess probe (killable,
+        # bounded — a sick tunnel hangs rather than fails) decides whether
+        # to resume or re-arm the cooldown.
+        self.outage_cooldown_s = float(outage_cooldown_s)
+        self.outage_fallback = bool(outage_fallback)
+        self.outage_probe_timeout_s = float(outage_probe_timeout_s)
+        self._outage_until = 0.0  # monotonic deadline; 0.0 = healthy
         # LRU of (plan, prepared_at_monotonic); bounded so a client looping
         # over distinct weekends cannot grow device+host memory without
         # limit, TTL'd so a resident server re-prepares once newer session
@@ -247,14 +295,25 @@ class PredictionService:
             "plan_cache_hits": 0,
             "plan_cache_misses": 0,
             "plan_cache_evictions": 0,
+            "outages": 0,
+            "outage_rejections": 0,
         }
 
     # -- plan cache -----------------------------------------------------------
 
     def plan_for(self, season: int, race: str, prediction_point: str):
+        """Thread-safe public wrapper around the plan cache (takes the
+        service lock; `predict`/`warmup` already hold it and use the
+        internal variant so a threaded front-end calling `plan_for`
+        directly cannot race `invalidate`)."""
+        with self._lock:
+            return self._plan_for_locked(season, race, prediction_point)
+
+    def _plan_for_locked(self, season: int, race: str, prediction_point: str):
         """Prepared weekend for a bare request, cached per (season, race,
         point) in the bounded LRU (fresh-by-TTL when `plan_ttl_s` is set).
-        Raises InsufficientDataError when the data layer is empty."""
+        Caller must hold `self._lock`. Raises InsufficientDataError when
+        the data layer is empty."""
         key = (season, race, prediction_point)
         entry = self._plans.get(key)
         if entry is not None:
@@ -317,7 +376,7 @@ class PredictionService:
         # and both the plan cache and the predictor's per-call state
         # (last_effective_sims) must not interleave with a live request.
         with self._lock:
-            plan = self.plan_for(season, race, prediction_point)
+            plan = self._plan_for_locked(season, race, prediction_point)
             self.predictor.simulate_plan(plan, self.default_simulations, seed=0)
         dt = time.perf_counter() - t0
         log_event(
@@ -348,6 +407,11 @@ class PredictionService:
 
         try:
             with self._lock:
+                blocked, retry_after = self._check_outage_locked()
+                if blocked:
+                    return self._outage_response(
+                        season, race, point, retry_after, t0
+                    )
                 if penalties or actual_grid:
                     plan = self.predictor.prepare_weekend(
                         season, race,
@@ -356,7 +420,7 @@ class PredictionService:
                         actual_grid=actual_grid,
                     )
                 else:
-                    plan = self.plan_for(season, race, point)
+                    plan = self._plan_for_locked(season, race, point)
                 probs = self.predictor.simulate_plan(plan, n_sims, seed=seed)
                 result = self.predictor.assemble_result(plan, probs)
             self.stats["ok"] += 1
@@ -372,6 +436,23 @@ class PredictionService:
             result = generate_fallback_predictions(season, race, point)
             self.stats["fallbacks"] += 1
         except Exception as e:  # noqa: BLE001 — a request must never kill the server
+            if _is_backend_outage(e):
+                with self._lock:
+                    self._outage_until = (
+                        time.monotonic() + self.outage_cooldown_s
+                    )
+                self.stats["outages"] += 1
+                get_logger().warning(
+                    "backend outage detected serving %s: %s", race, e
+                )
+                log_event(
+                    "serve_outage", season=season, race=race,
+                    reason=str(e)[:200],
+                    cooldown_s=self.outage_cooldown_s,
+                )
+                return self._outage_response(
+                    season, race, point, self.outage_cooldown_s, t0
+                )
             self.stats["errors"] += 1
             get_logger().error("Error predicting %s: %s", race, e)
             log_event("prediction_error", season=season, race=race, reason=str(e))
@@ -391,6 +472,96 @@ class PredictionService:
             fallback=bool(result.get("fallback")),
         )
         return 200, result
+
+    # -- outage policy ------------------------------------------------------------
+
+    def _check_outage_locked(self) -> tuple[bool, float]:
+        """(blocked, retry_after_s) for the current request.
+
+        Caller must hold `self._lock`. Inside the cooldown window the
+        answer is immediate (no device touch). At the first request after
+        the window, one bounded subprocess probe decides: success clears
+        the outage, failure re-arms the cooldown — so a still-dead tunnel
+        costs at most `outage_probe_timeout_s` per cooldown period and a
+        hung probe cannot wedge the serving thread.
+        """
+        if self._outage_until == 0.0:
+            return False, 0.0
+        now = time.monotonic()
+        if now < self._outage_until:
+            return True, self._outage_until - now
+        if self._probe_backend():
+            self._outage_until = 0.0
+            log_event("serve_outage_recovered")
+            return False, 0.0
+        self._outage_until = time.monotonic() + self.outage_cooldown_s
+        log_event(
+            "serve_outage_probe_failed", cooldown_s=self.outage_cooldown_s
+        )
+        return True, self.outage_cooldown_s
+
+    def _probe_backend(self) -> bool:
+        """One tiny op on this process's backend platform, in a killable
+        subprocess (a sick tunnel *hangs* rather than failing fast —
+        observed >9 min — and a poisoned in-process backend cannot be
+        retried; same pattern as bench.py's probe)."""
+        import jax
+
+        platform = jax.default_backend()
+        snippet = (
+            "import jax;"
+            f"jax.config.update('jax_platforms', {platform!r});"
+            "import numpy as np, jax.numpy as jnp;"
+            "np.asarray(jnp.ones(8).sum())"
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", snippet],
+                capture_output=True,
+                timeout=self.outage_probe_timeout_s,
+            )
+        except (subprocess.TimeoutExpired, OSError):
+            return False
+        return out.returncode == 0
+
+    def _outage_response(
+        self, season: int, race: str, point: str, retry_after: float,
+        t0: float,
+    ) -> tuple[int, dict]:
+        """Degraded answer during an outage: 503 + retry-after by default,
+        or (opt-in) the safety-fallback result so clients that prefer a
+        rough prior over an error keep working (`models/safety.py`
+        contract)."""
+        if self.outage_fallback:
+            result = generate_fallback_predictions(season, race, point)
+            result["degraded"] = "tpu_outage"
+            result["server"] = {
+                "latency_s": round(time.perf_counter() - t0, 4),
+                "n_simulations": 0,
+                "seed": None,
+                "season": season,
+                "race": race,
+            }
+            self.stats["fallbacks"] += 1
+            return 200, result
+        self.stats["outage_rejections"] += 1
+        return 503, {
+            "error": "backend unavailable (TPU outage); retry later",
+            "retry_after_s": round(max(retry_after, 1.0), 1),
+        }
+
+    def outage_status(self) -> dict:
+        """Health summary for /healthz: degraded flag + seconds until the
+        next probe-gated retry."""
+        with self._lock:
+            now = time.monotonic()
+            degraded = self._outage_until > 0.0
+            retry_in = max(0.0, self._outage_until - now) if degraded else 0.0
+        return {
+            "degraded": degraded,
+            "retry_after_s": round(retry_in, 1),
+            "outages": self.stats["outages"],
+        }
 
     # -- validation ---------------------------------------------------------------
 
@@ -428,23 +599,25 @@ class PredictionService:
             checked = {}
             for d, v in penalties.items():
                 # config.resolve_penalty takes positions (ints) or penalty
-                # type names (strings); anything else would 500 downstream.
+                # type names (strings). Unknown names resolve to 0 there
+                # (a typo'd 'drivethru' would silently apply no penalty)
+                # and floats would silently truncate — both are client
+                # errors, rejected here.
                 if isinstance(v, str):
+                    if v not in PENALTY_TYPES:
+                        raise ServeError(
+                            f"unknown penalty type {v!r}; valid: "
+                            f"{sorted(PENALTY_TYPES)}"
+                        )
                     checked[str(d)] = v
                 else:
-                    try:
-                        checked[str(d)] = int(v)
-                    except (TypeError, ValueError):
-                        raise ServeError(
-                            "'grid_penalties' values must be integers or "
-                            "penalty-type names"
-                        )
+                    checked[str(d)] = _integral(v, "'grid_penalties'")
             penalties = checked
         if actual_grid is not None:
             if not isinstance(actual_grid, dict):
                 raise ServeError("'actual_grid' must be an object")
-            try:
-                actual_grid = {str(d): int(p) for d, p in actual_grid.items()}
-            except (TypeError, ValueError):
-                raise ServeError("'actual_grid' values must be integers")
+            actual_grid = {
+                str(d): _integral(p, "'actual_grid'")
+                for d, p in actual_grid.items()
+            }
         return season, race, point, n_sims, seed, penalties, actual_grid

@@ -27,6 +27,14 @@ Endpoints:
                     also bounded-LRU cached (--plan-cache-size) and
                     optionally re-prepared after --plan-ttl seconds.
 
+TPU-outage behavior: when a device touch raises the tunnel-outage
+signature (ABORTED/UNAVAILABLE on every call — see CLAUDE.md), the service
+answers 503 + Retry-After for --outage-cooldown seconds without touching
+the device, then gates recovery behind a bounded subprocess probe; with
+--outage-fallback it serves the safety-fallback predictions (HTTP 200,
+"degraded": "tpu_outage") instead. /healthz reports status "degraded"
+while the cooldown is armed.
+
 The HTTP layer is deliberately single-threaded: one chip serializes the
 Monte Carlo anyway, and the service's own lock guards device access if a
 threaded server is ever swapped in. JSON note: full_distributions'
@@ -88,6 +96,13 @@ def make_handler(service):
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if status == 503 and "retry_after_s" in payload:
+                # Standard backoff hint alongside the JSON field (clients
+                # and load balancers honor the header form).
+                self.send_header(
+                    "Retry-After",
+                    str(max(1, int(round(payload["retry_after_s"])))),
+                )
             self.end_headers()
             self.wfile.write(body)
 
@@ -104,10 +119,12 @@ def make_handler(service):
             elif self.path == "/healthz":
                 import jax
 
+                outage = service.outage_status()
                 self._reply(200, {
-                    "status": "ok",
+                    "status": "degraded" if outage["degraded"] else "ok",
                     "platform": jax.default_backend(),
                     "requests": service.stats["requests"],
+                    **outage,
                 })
             elif self.path == "/stats":
                 self._reply(200, dict(service.stats))
@@ -184,6 +201,17 @@ def main():
         help="Max cached weekend plans (LRU eviction beyond this)",
     )
     parser.add_argument(
+        "--outage-cooldown", type=float, default=30.0, metavar="SECONDS",
+        help="After a TPU-backend outage (ABORTED/UNAVAILABLE on a device "
+             "touch), answer 503 immediately for this long before probing "
+             "the backend again",
+    )
+    parser.add_argument(
+        "--outage-fallback", action="store_true",
+        help="During a TPU outage serve the safety fallback predictions "
+             "(HTTP 200, result marked degraded) instead of 503",
+    )
+    parser.add_argument(
         "--no-safe", action="store_true",
         help="Return 422 on weekends with no usable data instead of "
              "degrading to uniform fallback predictions",
@@ -212,6 +240,8 @@ def main():
         safe=not args.no_safe,
         plan_cache_size=args.plan_cache_size,
         plan_ttl_s=args.plan_ttl,
+        outage_cooldown_s=args.outage_cooldown,
+        outage_fallback=args.outage_fallback,
     )
 
     for spec in args.warm:

@@ -321,3 +321,141 @@ def test_serve_http_end_to_end(tmp_path):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+# -- outage policy (VERDICT r4 #7) ------------------------------------------
+
+
+class _FakeXlaRuntimeError(RuntimeError):
+    """Shaped like jaxlib's XlaRuntimeError (a RuntimeError whose message
+    carries the gRPC status name) — the observed tunnel-outage signature."""
+
+
+class _FlakyPredictor:
+    """Stub predictor whose device stage can be switched into outage mode."""
+
+    def __init__(self):
+        self.simulate_calls = 0
+        self.fail = True
+
+    def prepare_weekend(self, season, race, prediction_point=None, **kw):
+        return ("plan", season, race, prediction_point)
+
+    def simulate_plan(self, plan, n_sims, seed=0):
+        self.simulate_calls += 1
+        if self.fail:
+            raise _FakeXlaRuntimeError(
+                "ABORTED: TPU backend error (Aborted): tunnel down"
+            )
+        return {"VER": {1: 1.0}}
+
+    def assemble_result(self, plan, probs):
+        return {
+            "pole_probabilities": {"VER": 1.0},
+            "win_probabilities": {"VER": 1.0},
+            "podium_probabilities": {"VER": 1.0},
+            "full_distributions": probs,
+            "confidence": "high",
+        }
+
+
+def _outage_service(**kw):
+    kw.setdefault("default_simulations", 64)
+    kw.setdefault("outage_cooldown_s", 60.0)
+    predictor = _FlakyPredictor()
+    svc = PredictionService(predictor, **kw)
+    return svc, predictor
+
+
+def test_outage_trips_cooldown_and_rejects_without_device_touch():
+    svc, predictor = _outage_service()
+    status, payload = svc.predict({"season": 2024, "race": "Bahrain"})
+    assert status == 503
+    assert payload["retry_after_s"] > 0
+    assert svc.stats["outages"] == 1
+    assert predictor.simulate_calls == 1
+    # Inside the cooldown the device (and the predictor) is never touched.
+    status2, payload2 = svc.predict({"season": 2024, "race": "Bahrain"})
+    assert status2 == 503
+    assert predictor.simulate_calls == 1
+    assert svc.stats["outage_rejections"] == 2
+    health = svc.outage_status()
+    assert health["degraded"] is True and health["retry_after_s"] > 0
+
+
+def test_outage_probe_gates_recovery():
+    svc, predictor = _outage_service(outage_cooldown_s=0.01)
+    assert svc.predict({"season": 2024, "race": "Bahrain"})[0] == 503
+    time.sleep(0.02)
+    # Cooldown expired but the probe still fails: re-armed, no device touch.
+    svc._probe_backend = lambda: False
+    assert svc.predict({"season": 2024, "race": "Bahrain"})[0] == 503
+    assert predictor.simulate_calls == 1
+    time.sleep(0.02)
+    # Probe succeeds and the backend is healthy again: request flows.
+    svc._probe_backend = lambda: True
+    predictor.fail = False
+    status, payload = svc.predict({"season": 2024, "race": "Bahrain"})
+    assert status == 200
+    assert payload["win_probabilities"] == {"VER": 1.0}
+    assert svc.outage_status()["degraded"] is False
+
+
+def test_outage_fallback_mode_serves_degraded_200():
+    svc, predictor = _outage_service(outage_fallback=True)
+    status, payload = svc.predict({"season": 2024, "race": "Bahrain"})
+    assert status == 200
+    assert payload["degraded"] == "tpu_outage"
+    assert payload["fallback"] is True
+    assert abs(sum(payload["win_probabilities"].values()) - 1.0) < 1e-6
+    assert payload["server"]["n_simulations"] == 0
+    # Still degraded for the next request; still no device touch.
+    status2, payload2 = svc.predict({"season": 2024, "race": "Monaco"})
+    assert status2 == 200 and payload2["degraded"] == "tpu_outage"
+    assert predictor.simulate_calls == 1
+    assert svc.stats["fallbacks"] == 2
+
+
+def test_non_outage_errors_still_500():
+    svc, predictor = _outage_service()
+
+    def boom(*a, **k):
+        raise ValueError("some unrelated bug")
+
+    predictor.simulate_plan = boom
+    status, payload = svc.predict({"season": 2024, "race": "Bahrain"})
+    assert status == 500
+    assert svc.stats["outages"] == 0
+    assert svc.outage_status()["degraded"] is False
+
+
+def test_penalty_validation_rejects_unknown_names_and_floats(service):
+    for bad_value in ("drivethru", 5.5, True):
+        status, payload = service.predict({
+            "season": 2024, "race": "Bahrain",
+            "grid_penalties": {"VER": bad_value},
+        })
+        assert status == 400, bad_value
+        assert "error" in payload
+    # Known names and integral floats stay in-contract.
+    for ok_value in ("engine", 5, 5.0):
+        status, _ = service.predict({
+            "season": 2024, "race": "Bahrain", "n_simulations": 64,
+            "grid_penalties": {"VER": ok_value},
+        })
+        assert status == 200, ok_value
+    status, _ = service.predict({
+        "season": 2024, "race": "Bahrain",
+        "actual_grid": {"VER": 3.7},
+    })
+    assert status == 400
+
+
+def test_public_plan_for_is_thread_safe_entry(service):
+    # The public plan_for self-locks (ADVICE r4): repeated calls hit the
+    # cache and return the same plan object without needing predict().
+    p1 = service.plan_for(2024, "Bahrain", "fp2")
+    hits = service.stats["plan_cache_hits"]
+    p2 = service.plan_for(2024, "Bahrain", "fp2")
+    assert p1 is p2
+    assert service.stats["plan_cache_hits"] == hits + 1
