@@ -62,14 +62,19 @@ class FastF1Backend:
         schedule = self._fastf1.get_event_schedule(season)
         events = []
         for _, ev in schedule.iterrows():
+            # EventDate -> Session5Date fallback: Series.get returns the
+            # stored NaT (not the default) when the column exists, so a
+            # missing/NaT EventDate must fall through to Session5Date
+            # explicitly (the race session's date) before going dateless.
+            date = ev.get("EventDate")
+            if date is None or pd.isna(date):
+                date = ev.get("Session5Date")
             events.append(
                 {
                     "EventName": ev["EventName"],
                     "Location": ev.get("Location", ev["EventName"]),
                     "EventFormat": str(ev.get("EventFormat", "conventional")),
-                    "EventDate": pd.to_datetime(
-                        ev.get("EventDate", ev.get("Session5Date"))
-                    ),
+                    "EventDate": pd.to_datetime(date),
                     "RoundNumber": int(ev.get("RoundNumber", 0)),
                 }
             )
@@ -411,6 +416,13 @@ class F1DataLoader:
             events = self.backend.get_schedule(season)
             self.cache.store_schedule(season, events)
             for ev in events:
+                if str(ev.get("EventFormat", "")) == "testing":
+                    # Pre-season testing events have no Q/R sessions; the
+                    # reference's season iteration skips them implicitly
+                    # (data_loader.py:48-60 event filter) and past_events
+                    # mirrors that — skip them here too instead of issuing
+                    # doomed session loads against the live API.
+                    continue
                 name = ev["EventName"]
                 is_sprint = "sprint" in str(ev.get("EventFormat", "")).lower()
                 for session in sessions:
