@@ -245,27 +245,15 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
 
     def value_of_ahead_multi(qs, rank, fills):
         """out_k[i] = qs[k][j] with rank[j] == rank[i]-1; leaders get
-        fills[k] (must be 0.0). One shared eq-mask pass serves every
-        payload: the DRS gap (cum) and the next lap's dirty-air lookup
-        (last_lap) ride the same chain instead of two independent O(D^2)
-        passes.
-
-        ACCUMULATE-SUM form, not a select chain: ranks are unique per
-        lane, so exactly one j matches (leaders match none and keep the
-        0.0 init), making the sum exact — and the D-step loop becomes D
-        independent masked terms feeding an add chain instead of a strict
-        read-modify-write select dependency. The equivalent select-chain
-        formulation measured ~4x slower at D=80 (latency-bound: each
-        select waits on the previous accumulator value; see the inv
-        extraction note in the overtake block — same finding)."""
-        assert all(f == 0.0 for f in fills), "sum form requires 0.0 fills"
-        outs = [jnp.zeros((d, s), jnp.float32) for _ in qs]
+        fills[k]. One shared eq-mask pass serves every payload: the DRS gap
+        (cum) and the next lap's dirty-air lookup (last_lap) ride the same
+        chain instead of two independent O(D^2) passes."""
+        outs = [jnp.full((d, s), f, jnp.float32) for f in fills]
         rm1 = rank - 1
         for j in range(d):
             eq = rank[j : j + 1, :] == rm1
             outs = [
-                o + jnp.where(eq, q[j : j + 1, :], 0.0)
-                for q, o in zip(qs, outs)
+                jnp.where(eq, q[j : j + 1, :], o) for q, o in zip(qs, outs)
             ]
         return outs
 
@@ -593,21 +581,10 @@ def _race_kernel(total_laps: int, d: int, s: int, season: bool = False):
                 # bitwise-identical inv but measured 0.7% SLOWER overall
                 # and +40 s compile: the (D,S)->(1,S) reductions cost what
                 # the eq/select rows save. See KERNEL_DESIGN.md.)
-                # inv as a masked SUM, not a select chain: orank is a
-                # permutation (unique keys), so exactly one j matches per
-                # (position, lane) and the int32 sum is exact. The select
-                # chain `inv = where(eq, j, inv)` measured 0.059 s/pass at
-                # D=80 (26% of the whole kernel for the three passes) —
-                # latency-bound on the serial accumulator dependency —
-                # while this add form matches rank_of's fast accumulation
-                # structure (selects leave the critical path; adds
-                # pipeline).
                 inv = jnp.zeros((d, s), jnp.int32)
                 if "ot_extract" not in ablate:
                     for j in range(d):
-                        inv += jnp.where(
-                            orank[j : j + 1, :] == row_iota, j, 0
-                        )
+                        inv = jnp.where(orank[j : j + 1, :] == row_iota, j, inv)
                 r_cum, r_pace, r_att = gather_rows_multi((cum, pace, att), inv)
                 if "ot_decide" not in ablate:
                     # attacker at position p (rows 1..d-1) vs the car at
