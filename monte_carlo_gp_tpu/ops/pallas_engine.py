@@ -838,7 +838,17 @@ def _pallas_counts(
 def _pallas_counts_one(
     kernel, seeds, pmat, scal, grid_log, n_tiles, d, interpret=False
 ) -> jax.Array:
-    def call():
+    """`interpret` accepts False (Mosaic, real TPU), True (the TPU
+    interpreter — single-process off-TPU validation), or "generic" (the
+    generic Pallas interpreter with the CPU primitive shims). "generic" is
+    REQUIRED when the surrounding shard_map's mesh spans multiple
+    PROCESSES: the TPU interpreter's callback-based DMA/semaphore
+    emulation deadlocks across process boundaries (measured — see
+    ops/pallas_cpu_shims.py), while the generic interpreter lowers to
+    plain HLO the multi-process CPU runtime executes normally. Both
+    interpreters produce identical results (zero PRNG off-hardware)."""
+
+    def call(generic: bool = False):
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -852,8 +862,14 @@ def _pallas_counts_one(
                 out_specs=pl.BlockSpec((1, d, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             ),
             out_shape=jax.ShapeDtypeStruct((n_tiles, d, d), jnp.int32),
+            interpret=generic,
         )(seeds, pmat, scal, grid_log)
 
+    if interpret == "generic":
+        from monte_carlo_gp_tpu.ops.pallas_cpu_shims import register_cpu_shims
+
+        register_cpu_shims()
+        return call(generic=True)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             return call()
@@ -1035,7 +1051,7 @@ def run_monte_carlo_pallas(
     n_sims: int,
     total_laps: int,
     sims_per_tile: int = DEFAULT_SIMS_PER_TILE,
-    interpret: bool = False,
+    interpret: bool | str = False,
     race_laps: jax.Array | None = None,
 ) -> jax.Array:
     """Pallas backend for `run_monte_carlo`: (D, D) finish probabilities.
@@ -1148,7 +1164,7 @@ def run_monte_carlo_pallas_sharded(
     mesh=None,
     sims_per_tile: int = DEFAULT_SIMS_PER_TILE,
     sims_axis: str = "sims",
-    interpret: bool | None = None,
+    interpret: bool | str | None = None,
     race_laps: jax.Array | None = None,
 ) -> jax.Array:
     """Multi-chip fused kernel: the tile grid is sharded over the mesh's
@@ -1162,7 +1178,10 @@ def run_monte_carlo_pallas_sharded(
 
     `interpret=None` auto-selects Mosaic on TPU and the Pallas interpreter
     elsewhere (CPU interpreter PRNG returns zeros — structure validation
-    only; see CLAUDE.md).
+    only; see CLAUDE.md). Pass `interpret="generic"` when `mesh` spans
+    multiple PROCESSES: the TPU interpreter's emulation deadlocks across
+    process boundaries (ops/pallas_cpu_shims.py), the generic interpreter
+    does not, and both produce identical (zero-PRNG) results.
     """
     if n_sims % sims_per_tile != 0:
         raise ValueError(

@@ -48,7 +48,10 @@ def dryrun_params():
     )
 
 
-def main(coordinator: str, num_procs: int, proc_id: int, out_path: str) -> None:
+def main(
+    coordinator: str, num_procs: int, proc_id: int, out_path: str,
+    engine: str = "xla",
+) -> None:
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     from monte_carlo_gp_tpu.parallel.distributed import initialize_distributed
 
@@ -79,12 +82,42 @@ def main(coordinator: str, num_procs: int, proc_id: int, out_path: str) -> None:
     from monte_carlo_gp_tpu.parallel.distributed import barrier
     from monte_carlo_gp_tpu.parallel.mesh import _sharded_probs
 
-    with jax.set_mesh(mesh):
-        compiled = _sharded_probs.lower(
-            params, key, N_SIMS, TOTAL_LAPS, mesh, "sims"
-        ).compile()
-        barrier("mcgp_worker_compiled")
+    if engine == "pallas":
+        # The fused kernel's sharded entry across REAL process boundaries
+        # (VERDICT r4 #3): shard_map over the gloo-backed global mesh, one
+        # interpreter-mode pallas_call per process, histogram psum as the
+        # only cross-process collective. Same AOT-compile -> barrier ->
+        # execute discipline as the XLA path: the first execution creates
+        # the gloo communicators whose rendezvous deadline (~30 s) is far
+        # smaller than cross-process compile skew.
+        from monte_carlo_gp_tpu.ops.pallas_engine import (
+            run_monte_carlo_pallas_sharded,
+        )
+
+        def fn(p, k):
+            # interpret="generic": the TPU interpreter's callback-based
+            # emulation deadlocks when the shard_map mesh spans processes
+            # (measured; ops/pallas_cpu_shims.py) — the generic interpreter
+            # lowers to plain HLO and produces identical zero-PRNG results.
+            return run_monte_carlo_pallas_sharded(
+                p, k, N_SIMS, TOTAL_LAPS, mesh=mesh, interpret="generic"
+            )
+
+        print(f"[worker {proc_id}] pallas lowering", file=sys.stderr, flush=True)
+        lowered = jax.jit(fn).lower(params, key)
+        print(f"[worker {proc_id}] pallas compiling", file=sys.stderr, flush=True)
+        compiled = lowered.compile()
+        print(f"[worker {proc_id}] pallas compiled", file=sys.stderr, flush=True)
+        barrier("mcgp_worker_pallas_compiled")
+        print(f"[worker {proc_id}] executing", file=sys.stderr, flush=True)
         probs = compiled(params, key)
+    else:
+        with jax.set_mesh(mesh):
+            compiled = _sharded_probs.lower(
+                params, key, N_SIMS, TOTAL_LAPS, mesh, "sims"
+            ).compile()
+            barrier("mcgp_worker_compiled")
+            probs = compiled(params, key)
     # fully-replicated output: every process holds the global value
     local = np.asarray(probs)
     if proc_id == 0:
@@ -93,4 +126,7 @@ def main(coordinator: str, num_procs: int, proc_id: int, out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    main(
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+        sys.argv[5] if len(sys.argv) > 5 else "xla",
+    )
