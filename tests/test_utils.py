@@ -36,3 +36,37 @@ def test_log_event_plain_and_json(monkeypatch, caplog):
         log_event("bench", value=42)
     payload = json.loads(caplog.records[-1].message)
     assert payload["event"] == "bench" and payload["value"] == 42
+
+
+# -- precompile (persistent-cache pre-seeding, VERDICT r4 #8) ----------------
+
+
+def test_bucket_specs_cover_calendar():
+    from monte_carlo_gp_tpu import config as cfg
+    from monte_carlo_gp_tpu.models.predictor import _lap_bucket
+    from monte_carlo_gp_tpu.precompile import bucket_specs
+
+    specs = bucket_specs()
+    buckets = {b for b, _ in specs}
+    # every circuit's bucket is covered
+    assert {_lap_bucket(int(i["laps"])) for i in cfg.CIRCUITS.values()} == buckets
+    # representatives trace the same variant as their bucket-mates
+    for b, laps in specs:
+        assert _lap_bucket(laps) == b
+    # exact-multiple circuits (race_laps=None static variant) get their own
+    # spec when present in the calendar
+    exact = [(b, laps) for b, laps in specs if b == laps]
+    calendar_exact = [
+        int(i["laps"]) for i in cfg.CIRCUITS.values()
+        if _lap_bucket(int(i["laps"])) == int(i["laps"])
+    ]
+    assert bool(exact) == bool(calendar_exact)
+
+
+def test_precompile_one_bucket_in_process():
+    """compile_one drives the production simulate_plan dispatch with a
+    dummy plan: it must compile+run without a real predictor."""
+    from monte_carlo_gp_tpu.precompile import compile_one
+
+    dt = compile_one(12, 64, "xla", n_drivers=6)
+    assert dt > 0
