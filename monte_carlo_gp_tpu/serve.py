@@ -187,7 +187,9 @@ async function refreshStats() {
       fetch("/healthz").then(r => r.json()),
       fetch("/stats").then(r => r.json()),
     ]);
-    $("health").textContent = "backend: " + h.platform;
+    $("health").textContent = "backend: " + h.platform +
+      (h.degraded ? " — DEGRADED (TPU outage, retry in " +
+                    h.retry_after_s + "s)" : "");
     $("tiles").innerHTML = [
       ["requests", s.requests], ["ok", s.ok], ["fallbacks", s.fallbacks],
       ["rejected", s.rejected], ["errors", s.errors],
