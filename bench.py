@@ -50,10 +50,13 @@ _START = time.monotonic()
 # multi-hour outage is reported as such, not waited out.)
 PROBE_TIMEOUTS_S = (60, 90, 120, 150, 180, 240, 300, 300, 300, 300)
 PROBE_BACKOFF_S = (5, 10, 20, 30, 45, 60, 60, 60, 60)
-BODY_RESERVE_S = 90.0  # keep at least this much budget for the body
-# (90 s fits the minimal plan — 65k sims, 1 warm rep — on a just-recovered
-# tunnel with a warm persistent compile cache; everything above it is spent
-# probing, which maximizes the chance of a real number on a flaky day.)
+# Body reserve: 90 s fits the minimal plan (65k sims, 1 warm rep) on a
+# just-recovered tunnel with a warm persistent compile cache; everything
+# above it is spent probing, which maximizes the chance of a real number
+# on a flaky day. For tiny budgets the reserve scales down so at least
+# one probe can still run (a 100 s budget must not report an outage
+# without ever probing).
+BODY_RESERVE_S = min(90.0, max(30.0, 0.4 * TOTAL_BUDGET_S))
 FINAL_MARGIN_S = 10.0   # parent bookkeeping / JSON print headroom
 
 
@@ -69,47 +72,33 @@ def emit(record: dict) -> None:
     print(json.dumps(record), flush=True)
 
 
-def probe_backend() -> bool:
-    """Return True once a tiny op completes on the default backend.
+def probe_backend() -> tuple[bool, int]:
+    """(backend_ok, probes_attempted) once a tiny op completes on the
+    default backend or the schedule exhausts.
 
     Each attempt runs in a fresh subprocess with a hard timeout, because a
     sick tunnel makes backend init *hang* (observed >9 min) rather than
     fail fast, and a poisoned in-process backend cannot be retried. The
     schedule is sized to the budget: no attempt (or backoff) may eat into
-    the body reserve.
+    the body reserve. Uses the shared probe helper (utils/outage.py).
     """
-    snippet = (
-        "import jax, numpy as np, jax.numpy as jnp;"
-        "d = jax.devices();"
-        "v = float(np.asarray(jnp.ones(8).sum()));"
-        "print(d[0].platform, v)"
-    )
     i = 0
     while True:
         budget = PROBE_TIMEOUTS_S[min(i, len(PROBE_TIMEOUTS_S) - 1)]
         budget = min(budget, remaining() - BODY_RESERVE_S)
         if budget < 15:
             log(f"probe schedule exhausted (remaining {remaining():.0f}s, "
-                f"reserve {BODY_RESERVE_S:.0f}s)")
-            return False
-        t0 = time.perf_counter()
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", snippet],
-                capture_output=True, text=True,
-                timeout=budget,
-            )
-        except subprocess.TimeoutExpired:
-            log(f"probe {i + 1}: timed out after {budget:.0f}s")
-        else:
-            dt = time.perf_counter() - t0
-            if out.returncode == 0:
-                log(f"probe {i + 1}: ok in {dt:.1f}s "
-                    f"({out.stdout.strip()})")
-                return True
-            tail = (out.stderr or "").strip().splitlines()
-            log(f"probe {i + 1}: rc={out.returncode} after {dt:.1f}s: "
-                f"{tail[-1] if tail else '?'}")
+                f"reserve {BODY_RESERVE_S:.0f}s, probes run: {i})")
+            return False, i
+        # Imported lazily (after the budget check): the insufficient-budget
+        # path must not depend on the package importing cleanly.
+        from monte_carlo_gp_tpu.utils.outage import probe_backend_once
+
+        ok, dt, detail = probe_backend_once(timeout_s=budget)
+        if ok:
+            log(f"probe {i + 1}: ok in {dt:.1f}s ({detail})")
+            return True, i + 1
+        log(f"probe {i + 1}: failed after {dt:.1f}s: {detail}")
         backoff = PROBE_BACKOFF_S[min(i, len(PROBE_BACKOFF_S) - 1)]
         time.sleep(min(backoff, max(0.0, remaining() - BODY_RESERVE_S)))
         i += 1
@@ -218,32 +207,6 @@ def run_body(n_sims: int, warm: int, want_xla: bool) -> None:
         f"(runs: {[f'{t:.3f}' for t in times]})"
     )
 
-    # Secondary metric: the XLA lap-scan engine (the portable path) is
-    # regression-tracked alongside the flagship kernel (VERDICT r1 #9).
-    xla_sims_per_sec = None
-    if on_tpu and want_xla:
-        from monte_carlo_gp_tpu.ops.engine import DEFAULT_BLOCK, run_monte_carlo
-
-        n_xla = n_sims // 4
-
-        def run_xla(k):
-            return run_monte_carlo(
-                params, k, n_xla, TOTAL_LAPS,
-                sims_per_block=min(DEFAULT_BLOCK, n_xla),
-            )
-
-        np.asarray(run_xla(key))  # compile
-        xla_keys = [
-            jax.device_put(jax.random.fold_in(key, 10 + i)) for i in range(4)
-        ]
-        xla_times = []
-        for k in xla_keys:
-            t0 = time.perf_counter()
-            np.asarray(run_xla(k))
-            xla_times.append(time.perf_counter() - t0)
-        xla_sims_per_sec = round(n_xla / min(xla_times), 1)
-        log(f"xla engine: {xla_sims_per_sec/1e6:.3f}M sims/s/chip")
-
     record = {
         "metric": METRIC,
         "value": round(sims_per_sec, 1),
@@ -256,9 +219,46 @@ def run_body(n_sims: int, warm: int, want_xla: bool) -> None:
         "cold_s": round(compile_s, 2),
         "n_sims": n_sims,
     }
-    if xla_sims_per_sec is not None:
-        record["xla_sims_per_sec"] = xla_sims_per_sec
+    # The primary metric is the judged artifact: print it NOW, before the
+    # optional secondary, so a tunnel death (or hang) during the XLA leg
+    # cannot discard an already-measured number — the parent forwards the
+    # LAST JSON line it finds, even from a timed-out/crashed body.
     emit(record)
+
+    # Secondary metric: the XLA lap-scan engine (the portable path) is
+    # regression-tracked alongside the flagship kernel (VERDICT r1 #9).
+    if on_tpu and want_xla:
+        try:
+            from monte_carlo_gp_tpu.ops.engine import (
+                DEFAULT_BLOCK,
+                run_monte_carlo,
+            )
+
+            n_xla = n_sims // 4
+
+            def run_xla(k):
+                return run_monte_carlo(
+                    params, k, n_xla, TOTAL_LAPS,
+                    sims_per_block=min(DEFAULT_BLOCK, n_xla),
+                )
+
+            np.asarray(run_xla(key))  # compile
+            xla_keys = [
+                jax.device_put(jax.random.fold_in(key, 10 + i))
+                for i in range(4)
+            ]
+            xla_times = []
+            for k in xla_keys:
+                t0 = time.perf_counter()
+                np.asarray(run_xla(k))
+                xla_times.append(time.perf_counter() - t0)
+            xla = round(n_xla / min(xla_times), 1)
+            log(f"xla engine: {xla/1e6:.3f}M sims/s/chip")
+            record["xla_sims_per_sec"] = xla
+            emit(record)  # enriched record supersedes (parent takes last)
+        except Exception as e:  # noqa: BLE001 — secondary must not cost the primary
+            log(f"xla secondary failed (primary already emitted): "
+                f"{str(e)[:200]}")
 
 
 # ---------------------------------------------------------------------------
@@ -279,10 +279,23 @@ def outage_record(reason: str, **extra) -> dict:
     return rec
 
 
+def _last_json_line(stdout_text: str):
+    return next(
+        (ln for ln in reversed((stdout_text or "").splitlines())
+         if ln.startswith("{")), None)
+
+
 def main() -> None:
-    if not probe_backend():
+    ok, probes_run = probe_backend()
+    if not ok:
+        if probes_run == 0:
+            # The budget was too small to even attempt a probe: that is a
+            # configuration problem, not evidence of an outage.
+            log("budget too small to probe; emitting insufficient_budget")
+            emit(outage_record("insufficient_budget", probes_run=0))
+            return
         log("backend unreachable within budget; emitting structured outage")
-        emit(outage_record("tpu_outage"))
+        emit(outage_record("tpu_outage", probes_run=probes_run))
         return  # exit 0: the artifact exists; the outage is the result
 
     body_budget = remaining() - FINAL_MARGIN_S
@@ -297,16 +310,26 @@ def main() -> None:
             timeout=max(30.0, body_budget),
         )
     except subprocess.TimeoutExpired as e:
-        tail = ((e.stderr or b"").decode(errors="replace")
-                if isinstance(e.stderr, bytes) else (e.stderr or ""))
-        log(tail)
+        def _txt(x):
+            return x.decode(errors="replace") if isinstance(x, bytes) else (x or "")
+        log(_txt(e.stderr))
+        # Salvage: the body emits the primary record BEFORE the optional
+        # secondary, so even a timed-out body may have the judged number
+        # in its captured stdout.
+        line = _last_json_line(_txt(e.stdout))
+        if line is not None:
+            log("body timed out after emitting the primary record; "
+                "forwarding it")
+            print(line, flush=True)
+            return
         emit(outage_record("tpu_outage_mid_bench", stage="body_timeout"))
         return
     log(out.stderr.rstrip())
-    line = next(
-        (ln for ln in reversed(out.stdout.splitlines())
-         if ln.startswith("{")), None)
-    if out.returncode == 0 and line is not None:
+    line = _last_json_line(out.stdout)
+    if line is not None:
+        if out.returncode != 0:
+            log(f"body exited rc={out.returncode} after emitting a record; "
+                "forwarding it")
         print(line, flush=True)
         return
     tail = (out.stderr or "").strip().splitlines()
@@ -320,4 +343,11 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--body":
         run_body(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4] == "1")
     else:
-        main()
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001 — the artifact must ALWAYS exist
+            log(f"orchestrator error: {type(e).__name__}: {e}")
+            emit(outage_record(
+                "bench_orchestrator_error",
+                detail=f"{type(e).__name__}: {e}"[:300],
+            ))

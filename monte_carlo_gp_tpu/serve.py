@@ -35,8 +35,6 @@ The HTTP front-end lives at the repo root (`serve.py`) to mirror the
 
 from __future__ import annotations
 
-import subprocess
-import sys
 import threading
 import time
 from collections import OrderedDict
@@ -47,27 +45,14 @@ from monte_carlo_gp_tpu.models.safety import (
     generate_fallback_predictions,
 )
 from monte_carlo_gp_tpu.utils.logging import get_logger, log_event
+from monte_carlo_gp_tpu.utils.outage import (
+    is_backend_outage as _is_backend_outage,
+    probe_backend_once,
+)
 
 __all__ = ["PredictionService", "ServeError", "dashboard_html"]
 
 _VALID_POINTS = ("fp1", "fp2", "fp3", "quali", "sprint")
-
-# TPU-tunnel outage signature (CLAUDE.md): every device touch — even an
-# array upload — raises ABORTED/UNAVAILABLE for minutes to hours. These
-# surface as jaxlib XlaRuntimeError (a RuntimeError subclass) with the
-# status name in the message.
-_OUTAGE_MARKERS = ("ABORTED", "UNAVAILABLE", "TPU backend error")
-
-
-def _is_backend_outage(exc: BaseException) -> bool:
-    """True when `exc` matches the TPU-backend outage signature."""
-    if not isinstance(exc, RuntimeError) and type(exc).__name__ not in (
-        "XlaRuntimeError",
-        "JaxRuntimeError",
-    ):
-        return False
-    msg = str(exc)
-    return any(marker in msg for marker in _OUTAGE_MARKERS)
 
 
 class ServeError(ValueError):
@@ -81,7 +66,9 @@ def _integral(value, field: str) -> int:
         raise ServeError(f"{field} values must be integers")
     try:
         as_int = int(value)
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, OverflowError):
+        # OverflowError: json.loads accepts Infinity, and int(inf) raises
+        # it — a client error, not a 500 (or a dropped connection).
         raise ServeError(f"{field} values must be integers")
     if isinstance(value, float) and value != as_int:
         raise ServeError(f"{field} values must be integral (got {value})")
@@ -439,11 +426,7 @@ class PredictionService:
             self.stats["fallbacks"] += 1
         except Exception as e:  # noqa: BLE001 — a request must never kill the server
             if _is_backend_outage(e):
-                with self._lock:
-                    self._outage_until = (
-                        time.monotonic() + self.outage_cooldown_s
-                    )
-                self.stats["outages"] += 1
+                self.trip_outage()
                 get_logger().warning(
                     "backend outage detected serving %s: %s", race, e
                 )
@@ -506,25 +489,21 @@ class PredictionService:
         """One tiny op on this process's backend platform, in a killable
         subprocess (a sick tunnel *hangs* rather than failing fast —
         observed >9 min — and a poisoned in-process backend cannot be
-        retried; same pattern as bench.py's probe)."""
+        retried; shared with bench.py via utils/outage.py)."""
         import jax
 
-        platform = jax.default_backend()
-        snippet = (
-            "import jax;"
-            f"jax.config.update('jax_platforms', {platform!r});"
-            "import numpy as np, jax.numpy as jnp;"
-            "np.asarray(jnp.ones(8).sum())"
+        ok, _, _ = probe_backend_once(
+            platform=jax.default_backend(),
+            timeout_s=self.outage_probe_timeout_s,
         )
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", snippet],
-                capture_output=True,
-                timeout=self.outage_probe_timeout_s,
-            )
-        except (subprocess.TimeoutExpired, OSError):
-            return False
-        return out.returncode == 0
+        return ok
+
+    def trip_outage(self) -> None:
+        """Arm the outage cooldown now (used when an outage is detected
+        outside `predict`, e.g. a failed startup warmup)."""
+        with self._lock:
+            self._outage_until = time.monotonic() + self.outage_cooldown_s
+        self.stats["outages"] += 1
 
     def _outage_response(
         self, season: int, race: str, point: str, retry_after: float,

@@ -278,6 +278,22 @@ def main():
                 raise
             print(f"warm {season} {race} ({point}) failed: {e}", flush=True)
             continue
+        except Exception as e:  # noqa: BLE001 — classify backend outages
+            from monte_carlo_gp_tpu.utils.outage import is_backend_outage
+
+            if not is_backend_outage(e):
+                raise
+            # A TPU outage at startup is the very condition the serving
+            # outage policy exists for: arm the cooldown and start the
+            # server degraded (503/fallback) instead of crash-looping
+            # until the tunnel recovers.
+            service.trip_outage()
+            print(
+                f"warm {season} {race} ({point}) hit a TPU outage "
+                f"({str(e)[:120]}); starting degraded",
+                flush=True,
+            )
+            break
         print(f"warm {season} {race} ({point}): {dt:.1f}s", flush=True)
 
     server = HTTPServer((args.host, args.port), make_handler(service))

@@ -9,23 +9,33 @@ the healthy-tunnel headlines (3.0M / 1.11M sims/s measured this round) so
 ordinary tunnel jitter cannot flake them, while a real regression (e.g.
 the round-2 28x compile pathology's runtime cousins) still fails.
 
-Outage-aware: the TPU tunnel's failure mode is ABORTED/UNAVAILABLE on
-every device touch for minutes-to-hours (CLAUDE.md). Any such error —
-including during warmup — SKIPS the test rather than failing it.
+Tunnel-sickness aware, in both observed failure modes (CLAUDE.md):
+  * hard outage — ABORTED/UNAVAILABLE on any device touch: SKIPPED via
+    the shared signature classifier;
+  * silent degradation — no errors, but a tiny op takes seconds-to-
+    minutes (observed >8 min for 5+ hours): a tiny-op wall-clock sanity
+    check runs before each gate AND again before declaring a failure, so
+    a slow measurement on a sick tunnel SKIPS instead of blaming the
+    kernel.
+
+The TPU platform check is env-driven (MCGP_TEST_TPU, the same switch
+tests/conftest.py uses) — never `jax.devices()` at import time, which
+would turn an outage into a collection error before any skip could run.
 """
 
+import os
 import time
 
 import numpy as np
 import pytest
 
-import jax
-
-ON_TPU = jax.devices()[0].platform == "tpu"
+ON_TPU = os.environ.get("MCGP_TEST_TPU") == "1"
 
 pytestmark = [
     pytest.mark.slow,
-    pytest.mark.skipif(not ON_TPU, reason="perf gates need real TPU"),
+    pytest.mark.skipif(
+        not ON_TPU, reason="perf gates need real TPU (set MCGP_TEST_TPU=1)"
+    ),
 ]
 
 N_DRIVERS = 20
@@ -34,17 +44,36 @@ PALLAS_SIMS = 1_048_576
 PALLAS_FLOOR = 2.5e6  # sims/s (headline ~3.0M)
 XLA_SIMS = 262_144
 XLA_FLOOR = 0.9e6  # sims/s (headline ~1.11M)
-
-_OUTAGE_MARKERS = ("ABORTED", "UNAVAILABLE", "TPU backend error")
+TINY_OP_SANE_S = 10.0  # a healthy tunnel answers a tiny op in <~1 s
 
 
 def _skip_on_outage(fn):
+    from monte_carlo_gp_tpu.utils.outage import is_backend_outage
+
     try:
         return fn()
     except Exception as e:  # noqa: BLE001 — classify, re-raise non-outage
-        if any(m in str(e) for m in _OUTAGE_MARKERS):
+        if is_backend_outage(e):
             pytest.skip(f"TPU tunnel outage: {str(e)[:120]}")
         raise
+
+
+def _tiny_op_seconds():
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    np.asarray(jnp.ones(8).sum() + jax.random.uniform(jax.random.PRNGKey(0)))
+    return time.perf_counter() - t0
+
+
+def _require_sane_tunnel(context: str):
+    dt = _skip_on_outage(_tiny_op_seconds)
+    if dt > TINY_OP_SANE_S:
+        pytest.skip(
+            f"tunnel degraded ({context}): tiny op took {dt:.1f}s "
+            f"(> {TINY_OP_SANE_S:.0f}s sanity bound)"
+        )
 
 
 def _best_of(run, keys):
@@ -56,57 +85,60 @@ def _best_of(run, keys):
     return min(times)
 
 
-@pytest.fixture(scope="module")
-def staged():
+def _gate(run, n_sims, floor, label):
+    """Compile, verify, measure; skip on outage or degraded tunnel, fail
+    only when the tunnel re-verifies healthy after a below-floor read."""
+    import jax
+
+    def stage():
+        from benchmarks.common import stage_on_device, standard_params
+
+        params = standard_params(N_DRIVERS)
+        key = jax.random.PRNGKey(42)
+        return stage_on_device(params, key, n_keys=3)
+
+    _require_sane_tunnel("before staging")
+    params, keys = _skip_on_outage(stage)
+    probs = _skip_on_outage(lambda: np.asarray(run(params, keys[0])))
+    assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+    best = _skip_on_outage(
+        lambda: _best_of(lambda k: run(params, k), keys)
+    )
+    sims_per_sec = n_sims / best
+    if sims_per_sec < floor:
+        # Re-verify before blaming the code: a silently-degraded tunnel
+        # produces arbitrarily slow measurements with no error raised.
+        _require_sane_tunnel("after below-floor measurement")
+        pytest.fail(
+            f"{label} regressed: {sims_per_sec/1e6:.2f}M sims/s "
+            f"< {floor/1e6:.1f}M floor (best {best:.3f}s)"
+        )
+
+
+def test_pallas_kernel_throughput_floor():
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-    from benchmarks.common import stage_on_device, standard_params
-
-    def build():
-        params = standard_params(N_DRIVERS)
-        key = jax.random.PRNGKey(42)
-        np.asarray(jax.numpy.ones(8).sum())  # backend init outside timings
-        return stage_on_device(params, key, n_keys=3)
-
-    return _skip_on_outage(build)
-
-
-def test_pallas_kernel_throughput_floor(staged):
     from monte_carlo_gp_tpu.ops.pallas_engine import run_monte_carlo_pallas
 
-    params, keys = staged
-
-    def run(k):
+    def run(params, k):
         return run_monte_carlo_pallas(params, k, PALLAS_SIMS, LAPS)
 
-    probs = _skip_on_outage(lambda: np.asarray(run(keys[0])))  # compile
-    assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-4)
-    best = _skip_on_outage(lambda: _best_of(run, keys))
-    sims_per_sec = PALLAS_SIMS / best
-    assert sims_per_sec >= PALLAS_FLOOR, (
-        f"fused kernel regressed: {sims_per_sec/1e6:.2f}M sims/s "
-        f"< {PALLAS_FLOOR/1e6:.1f}M floor (best {best:.3f}s)"
-    )
+    _gate(run, PALLAS_SIMS, PALLAS_FLOOR, "fused kernel")
 
 
-def test_xla_engine_throughput_floor(staged):
+def test_xla_engine_throughput_floor():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     from monte_carlo_gp_tpu.ops.engine import DEFAULT_BLOCK, run_monte_carlo
 
-    params, keys = staged
-
-    def run(k):
+    def run(params, k):
         return run_monte_carlo(
             params, k, XLA_SIMS, LAPS,
             sims_per_block=min(DEFAULT_BLOCK, XLA_SIMS),
         )
 
-    probs = _skip_on_outage(lambda: np.asarray(run(keys[0])))  # compile
-    assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-4)
-    best = _skip_on_outage(lambda: _best_of(run, keys))
-    sims_per_sec = XLA_SIMS / best
-    assert sims_per_sec >= XLA_FLOOR, (
-        f"XLA engine regressed: {sims_per_sec/1e6:.2f}M sims/s "
-        f"< {XLA_FLOOR/1e6:.1f}M floor (best {best:.3f}s)"
-    )
+    _gate(run, XLA_SIMS, XLA_FLOOR, "XLA engine")
