@@ -95,11 +95,39 @@ def compile_one(
     return time.perf_counter() - t0
 
 
+def compile_season(
+    n_races: int, n_simulations: int, engine: str, n_drivers: int
+) -> float:
+    """Compile the race-batched season program (`backtest --batched`):
+    ONE launch whose compile is keyed on (n_races, max lap bucket, sims,
+    tile/block) — a different program from the per-race path, so the
+    build step seeds it separately. Lap counts come from the real
+    calendar (the per-race count is traced data, not a compile key)."""
+    from monte_carlo_gp_tpu.models.predictor import F1Predictor
+    from monte_carlo_gp_tpu.validate.backtest import simulate_season_plans
+
+    laps = [int(i["laps"]) for i in cfg.CIRCUITS.values()]
+    laps = (laps * (1 + n_races // len(laps)))[:n_races]
+    plans = [_dummy_plan(n_drivers, lp) for lp in laps]
+    predictor = F1Predictor.__new__(F1Predictor)  # engine dispatch only
+    predictor._engine = engine
+    predictor._sims_per_block = None
+    predictor.last_effective_sims = None
+    import jax
+
+    t0 = time.perf_counter()
+    simulate_season_plans(
+        predictor, plans, jax.random.PRNGKey(0), n_simulations, engine=engine
+    )
+    return time.perf_counter() - t0
+
+
 def precompile(
     n_simulations: int = 10_000,
     engine: str = "auto",
     n_drivers: int = 20,
     jobs: int = 3,
+    season_races: int = 0,
     _laps: int | None = None,
 ) -> int:
     """Seed the persistent cache for every calendar lap bucket. Returns
@@ -141,18 +169,22 @@ def precompile(
                 failed.append(laps)
         if failed:
             raise RuntimeError(f"precompile failed for lap buckets {failed}")
+    n_programs = len(specs)
+    if season_races > 0:
+        compile_season(season_races, n_simulations, engine, n_drivers)
+        n_programs += 1
     dt = time.perf_counter() - t0
     log_event(
-        "precompile", programs=len(specs), engine=engine,
+        "precompile", programs=n_programs, engine=engine,
         n_simulations=n_simulations, seconds=round(dt, 1), jobs=jobs,
     )
     print(
-        f"precompiled {len(specs)} engine programs "
+        f"precompiled {n_programs} engine programs "
         f"({engine}, {n_simulations} sims, {n_drivers} drivers) "
         f"in {dt:.1f}s",
         flush=True,
     )
-    return len(specs)
+    return n_programs
 
 
 def main() -> None:
@@ -168,6 +200,11 @@ def main() -> None:
         "--jobs", type=int, default=3,
         help="parallel compile subprocesses (1 = in-process, sequential)",
     )
+    parser.add_argument(
+        "--season-races", type=int, default=0, metavar="N",
+        help="also compile the race-batched season program for an N-race "
+             "season (the `backtest --batched` path; a separate program)",
+    )
     parser.add_argument("--_laps", type=int, default=None,
                         help=argparse.SUPPRESS)  # internal child mode
     args = parser.parse_args()
@@ -176,7 +213,8 @@ def main() -> None:
     honor_platform_env()
     precompile(
         n_simulations=args.simulations, engine=args.engine,
-        n_drivers=args.drivers, jobs=args.jobs, _laps=args._laps,
+        n_drivers=args.drivers, jobs=args.jobs,
+        season_races=args.season_races, _laps=args._laps,
     )
 
 
