@@ -50,6 +50,7 @@ class FastF1Backend:
     """Network backend over FastF1 (import-gated: absent in this sandbox)."""
 
     name = "fastf1"
+    offline_safe = False  # network: blocked entirely by offline=True
 
     def __init__(self, fastf1_cache_dir: str = "./cache/fastf1"):
         import fastf1  # raises ImportError when not installed
@@ -251,6 +252,18 @@ class F1DataLoader:
             except ImportError:
                 self.backend = None
 
+    def _backend_allowed(self) -> bool:
+        """offline=True forbids NETWORK access, not every backend: a
+        backend declaring `offline_safe = True` (the synthetic generator —
+        it fabricates data locally) still serves, matching the module
+        docstring's offline contract. FastF1 (offline_safe=False, the
+        default) stays blocked."""
+        if self.backend is None:
+            return False
+        if not self.offline:
+            return True
+        return getattr(self.backend, "offline_safe", False)
+
     @property
     def now(self) -> pd.Timestamp:
         """The loader's clock: only events dated <= now are 'past'."""
@@ -307,7 +320,7 @@ class F1DataLoader:
             "weather": "load_weather",
         }[kind]
         out = getattr(self.cache, loader)(season, event, session)
-        if out is None and self.backend is not None and not self.offline:
+        if out is None and self._backend_allowed():
             out = getattr(self.backend, loader)(season, event, session)
             if out is not None:
                 store = getattr(self.cache, "store_" + kind)
@@ -337,7 +350,7 @@ class F1DataLoader:
             return self._memo[key]
         events = self.cache.get_schedule(season)
         if events is None:
-            if self.backend is not None and not self.offline:
+            if self._backend_allowed():
                 events = self.backend.get_schedule(season)
                 if events:
                     self.cache.store_schedule(season, events)
@@ -436,9 +449,11 @@ class F1DataLoader:
                         res = self.backend.load_results(season, name, session)
                         if res is not None and not res.empty:
                             self.cache.store_results(season, name, session, res)
+                            written += 1
                     w = self.backend.load_weather(season, name, session)
                     if w is not None:
                         self.cache.store_weather(season, name, session, w)
+                        written += 1
         return written
 
 

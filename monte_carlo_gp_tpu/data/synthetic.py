@@ -55,6 +55,9 @@ class SyntheticBackend:
     """Session backend producing deterministic plausible seasons."""
 
     name = "synthetic"
+    # Fabricates data locally — no network — so offline=True loaders may
+    # still use it (loader._backend_allowed).
+    offline_safe = True
 
     def __init__(self, seed: int = 2718, n_events: int | None = None):
         self.seed = seed
@@ -247,7 +250,17 @@ class SyntheticBackend:
         return out
 
     def load_results(self, season: int, event: str, session: str = "R") -> pd.DataFrame | None:
-        """Classification frame: Abbreviation, GridPosition, Position, Status."""
+        """Classification frame: Abbreviation, GridPosition, Position, Status.
+
+        Known modeling wart (documented, deliberately unfixed): GridPosition
+        comes from an independent quali-order draw (stream tag 99), not from
+        ranking the Q-session lap frames, so an event's reported grid can
+        disagree with its own Q classification — structural noise a real
+        season would not have. Every statistical gate and documented Brier
+        number is calibrated against this world AS IS (CLAUDE.md: the
+        synthetic world's draws are load-bearing), so aligning the two
+        streams is a breaking change reserved for a deliberate recalibration
+        round."""
         idx = self._event_index(event)
         if idx is None or session not in ("R", "S", "Q", "SQ"):
             return None

@@ -32,6 +32,7 @@ from pathlib import Path
 
 import pandas as pd
 
+from monte_carlo_gp_tpu import config as cfg
 from monte_carlo_gp_tpu.utils.logging import log_event
 from monte_carlo_gp_tpu.validate.metrics import (
     brier_score,
@@ -116,14 +117,43 @@ def get_actual_results(loader, season: int, race: str) -> dict:
     }
 
 
+def _score(predictions: list, actuals: list) -> dict:
+    """The result dict both backtest entry points return (reference
+    validation.py:203-209) — ONE assembly so a scored-key change cannot
+    desynchronize the sequential and batched paths."""
+    return {
+        "pole_brier": brier_score(
+            [p["pole_probabilities"] for p in predictions],
+            [a["pole"] for a in actuals],
+        ),
+        "win_brier": brier_score(
+            [p["win_probabilities"] for p in predictions],
+            [a["winner"] for a in actuals],
+        ),
+        "podium_accuracy": podium_accuracy(predictions, actuals),
+        "calibration_curve": calibration_analysis(predictions, actuals),
+        "n_races": len(predictions),
+    }
+
+
 def _checkpoint_read(path: Path) -> dict[tuple[int, str], dict]:
     done = {}
     if path.exists():
-        for line in path.read_text().splitlines():
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
             if not line.strip():
                 continue
-            rec = json.loads(line)
-            done[(rec["season"], rec["race"])] = rec
+            try:
+                rec = json.loads(line)
+                done[(rec["season"], rec["race"])] = rec
+            except (json.JSONDecodeError, KeyError, TypeError) as e:
+                # A run killed mid-append (OOM/SIGKILL/disk-full) leaves a
+                # truncated trailing line; resuming past it is the whole
+                # point of the checkpoint, so skip the line (its race
+                # simply re-runs) instead of refusing to start.
+                log_event(
+                    "checkpoint_skip_line", path=str(path), line=lineno,
+                    error=str(e),
+                )
     return done
 
 
@@ -178,8 +208,28 @@ def backtest_model(
                 rec = done[key]
                 predictions.append(rec["prediction"])
                 actuals.append(rec["actual"])
+                # Replay must mirror the uninterrupted run's Elo evolution:
+                # prepare_weekend seeds rookie priors BEFORE the race's
+                # actual updates apply, so a resumed rookie_prior backtest
+                # re-seeds from the checkpointed participants (team from
+                # the static map — the FP-frame assignment isn't recorded;
+                # identical for the synthetic world, approximate when a
+                # weekend's frame teams diverge from config).
+                if getattr(predictor, "_rookie_prior", False):
+                    participants = list(dict.fromkeys(
+                        (rec["actual"].get("quali_results") or [])
+                        + (rec["actual"].get("race_results") or [])
+                    ))
+                    rookies = {
+                        d: cfg.DRIVER_TEAMS.get(d)
+                        for d in participants
+                        if not predictor.elo_system.has_rating(d)
+                    }
+                    if rookies:
+                        predictor.elo_system.initialize_rookies(rookies)
                 _apply_actual_elo(
-                    predictor, rec["actual"], reference_compat_elo_noop
+                    predictor, rec["actual"], reference_compat_elo_noop,
+                    race_idx=race_idx, total_races=len(races),
                 )
                 continue
             try:
@@ -198,7 +248,10 @@ def backtest_model(
                 }
                 predictions.append(slim)
                 actuals.append(act)
-                _apply_actual_elo(predictor, act, reference_compat_elo_noop)
+                _apply_actual_elo(
+                    predictor, act, reference_compat_elo_noop,
+                    race_idx=race_idx, total_races=len(races),
+                )
                 log_event(
                     "backtest_race",
                     season=season,
@@ -226,19 +279,7 @@ def backtest_model(
                 if verbose:
                     print(f"Skipping {season} {race}: {e}")
 
-    return {
-        "pole_brier": brier_score(
-            [p["pole_probabilities"] for p in predictions],
-            [a["pole"] for a in actuals],
-        ),
-        "win_brier": brier_score(
-            [p["win_probabilities"] for p in predictions],
-            [a["winner"] for a in actuals],
-        ),
-        "podium_accuracy": podium_accuracy(predictions, actuals),
-        "calibration_curve": calibration_analysis(predictions, actuals),
-        "n_races": len(predictions),
-    }
+    return _score(predictions, actuals)
 
 
 def backtest_model_batched(
@@ -284,19 +325,7 @@ def backtest_model_batched(
         predictions.extend(preds)
         actuals.extend(a)
 
-    return {
-        "pole_brier": brier_score(
-            [p["pole_probabilities"] for p in predictions],
-            [a["pole"] for a in actuals],
-        ),
-        "win_brier": brier_score(
-            [p["win_probabilities"] for p in predictions],
-            [a["winner"] for a in actuals],
-        ),
-        "podium_accuracy": podium_accuracy(predictions, actuals),
-        "calibration_curve": calibration_analysis(predictions, actuals),
-        "n_races": len(predictions),
-    }
+    return _score(predictions, actuals)
 
 
 def score_season_plans(predictor, plans, acts, probs) -> tuple[list, list]:
@@ -336,14 +365,18 @@ def prepare_season_plans(
     loader = predictor.data_loader
     plans, acts = [], []
     cutoffs = _race_cutoffs(loader, season)
-    for race_idx, race in enumerate(get_races(loader, season)):
+    races = get_races(loader, season)
+    for race_idx, race in enumerate(races):
         try:
             _pin(loader, cutoffs, race_idx, pin_clock)
             plan = predictor.prepare_weekend(season, race)
             act = get_actual_results(loader, season, race)
             plans.append(plan)
             acts.append(act)
-            _apply_actual_elo(predictor, act, reference_compat_elo_noop)
+            _apply_actual_elo(
+                predictor, act, reference_compat_elo_noop,
+                race_idx=race_idx, total_races=len(races),
+            )
         except Exception as e:  # noqa: BLE001
             log_event("backtest_skip", season=season, race=race, error=str(e))
             if verbose:
@@ -394,6 +427,12 @@ def simulate_season_plans(
 
         tile = min(DEFAULT_SIMS_PER_TILE, int(n_simulations))
         n_eff = -(-int(n_simulations) // tile) * tile
+        if n_eff != int(n_simulations):
+            # Same surfaced-rounding contract as predictor.simulate_plan.
+            log_event(
+                "pallas_sims_rounded", requested=int(n_simulations),
+                effective=n_eff, tile=tile,
+            )
         bucket = max(_lap_bucket(p.total_laps) for p in plans)
         # Honor an explicitly passed mesh (sub-mesh device selection);
         # default to all devices only when none was given.
@@ -446,12 +485,26 @@ def simulate_season_plans(
     return probs
 
 
-def _apply_actual_elo(predictor, act: dict, compat_noop: bool) -> None:
+def _apply_actual_elo(
+    predictor, act: dict, compat_noop: bool,
+    race_idx: int | None = None, total_races: int | None = None,
+) -> None:
     """Walk-forward Elo updates from actual results. With compat_noop the
-    reference's silent no-op defect is reproduced (nothing happens)."""
+    reference's silent no-op defect is reproduced (nothing happens).
+
+    `race_idx`/`total_races` pin the CURRENT-SEASON recency weight
+    (elo.recency_k's 0.75->1.5 race-index ramp) for these updates. Without
+    them the updates silently inherited whatever K the last historical
+    season build left behind (the previous season's flat 1.0x — or less,
+    if a factory pre-processed older seasons), so the within-season ramp
+    never applied to the walk-forward learning path."""
     if compat_noop:
         return
     try:
+        if race_idx is not None:
+            predictor.elo_system.set_recency_weight(
+                0, race_idx, total_races
+            )
         if act.get("quali_results"):
             predictor.elo_system.update_quali_ratings(act["quali_results"])
         if act.get("race_results"):

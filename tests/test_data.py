@@ -189,3 +189,25 @@ def test_synthetic_world_is_hash_seed_invariant():
     assert outs[0].stdout == outs[1].stdout == outs[2].stdout, [
         o.stdout for o in outs
     ]
+
+
+def test_offline_allows_offline_safe_synthetic_backend(tmp_path):
+    """offline=True forbids NETWORK backends, not the synthetic generator
+    (offline_safe=True): `--offline --synthetic` over an empty cache must
+    serve the deterministic synthetic world instead of silently degrading
+    to empty frames (the module docstring's offline contract)."""
+    backend = SyntheticBackend(seed=3, n_events=2)
+    loader = F1DataLoader(cache_dir=tmp_path, offline=True, backend=backend)
+    sched = loader.get_schedule(2024)
+    assert len(sched) == 2
+    laps = loader.load_session(2024, "Bahrain Grand Prix", "Q")
+    assert not laps.empty
+    # A network-shaped backend (offline_safe False/absent) stays blocked.
+    class _NetStub:
+        name = "netstub"
+        def get_schedule(self, season):  # pragma: no cover - must not run
+            raise AssertionError("offline loader touched a network backend")
+    blocked = F1DataLoader(
+        cache_dir=tmp_path / "empty", offline=True, backend=_NetStub()
+    )
+    assert blocked.get_schedule(2024) == []

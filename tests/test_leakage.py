@@ -96,6 +96,9 @@ def test_backtest_elo_walk_forward_no_leak_no_double_count(tmp_path):
             f"race {k}: Elo at prediction time diverges from strict "
             f"walk-forward (leak or double-counted events)"
         )
+        # Mirror _apply_actual_elo's explicit current-season recency
+        # weight (race-index ramp) for the applied actuals.
+        control.elo_system.set_recency_weight(0, k, N_EVENTS)
         control.elo_system.update_quali_ratings(actuals[k]["quali_results"])
         control.elo_system.update_race_ratings(actuals[k]["race_results"])
 

@@ -460,3 +460,59 @@ def test_alt_quali_models_beat_elo_pole_brier(tmp_path):
         gbm["pole_brier"], elo["pole_brier"])
     assert bay["pole_brier"] < 0.5 * elo["pole_brier"], (
         bay["pole_brier"], elo["pole_brier"])
+
+
+def test_checkpoint_resume_tolerates_truncated_trailing_line(tmp_path):
+    """A run killed mid-append leaves a partial JSONL line; resume must
+    skip it (that race re-runs) instead of refusing to start."""
+    full = backtest_model(
+        _factory(tmp_path, n_events=3), [2024], seed=42, n_simulations=256,
+        verbose=False,
+    )
+    ckpt = tmp_path / "trunc.jsonl"
+    full_ckpt = tmp_path / "full2.jsonl"
+    backtest_model(
+        _factory(tmp_path, n_events=3), [2024], seed=42, n_simulations=256,
+        checkpoint_path=full_ckpt, verbose=False,
+    )
+    lines = full_ckpt.read_text().splitlines()
+    # first race intact + second race truncated mid-record
+    ckpt.write_text(lines[0] + "\n" + lines[1][: len(lines[1]) // 2] + "\n")
+    resumed = backtest_model(
+        _factory(tmp_path, n_events=3), [2024], seed=42, n_simulations=256,
+        checkpoint_path=ckpt, verbose=False,
+    )
+    assert resumed["n_races"] == 3
+    assert resumed["pole_brier"] == pytest.approx(full["pole_brier"], abs=1e-9)
+    assert resumed["win_brier"] == pytest.approx(full["win_brier"], abs=1e-9)
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_matches_with_rookie_prior(tmp_path):
+    """rookie_prior=True resume must reproduce the uninterrupted run: the
+    replay re-seeds checkpointed races' rookies (teammate priors) before
+    applying their actual updates, mirroring prepare_weekend's order."""
+
+    def factory():
+        return F1Predictor(
+            cache_dir=tmp_path,
+            backend=SyntheticBackend(seed=5, n_events=3),
+            rookie_prior=True,
+        )
+
+    full = backtest_model(
+        factory, [2024], seed=42, n_simulations=256, verbose=False,
+    )
+    full_ckpt = tmp_path / "rk_full.jsonl"
+    backtest_model(
+        factory, [2024], seed=42, n_simulations=256,
+        checkpoint_path=full_ckpt, verbose=False,
+    )
+    ckpt = tmp_path / "rk_partial.jsonl"
+    ckpt.write_text(full_ckpt.read_text().splitlines()[0] + "\n")
+    resumed = backtest_model(
+        factory, [2024], seed=42, n_simulations=256,
+        checkpoint_path=ckpt, verbose=False,
+    )
+    assert resumed["pole_brier"] == pytest.approx(full["pole_brier"], abs=1e-9)
+    assert resumed["win_brier"] == pytest.approx(full["win_brier"], abs=1e-9)
