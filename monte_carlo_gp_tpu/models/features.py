@@ -308,7 +308,10 @@ class F1FeatureEngine:
                 }
         if any_wet:
             out = {}
-            for drv in set(wet_lists) | set(dry_lists):
+            # sorted(): never iterate a raw set (PYTHONHASHSEED order —
+            # CLAUDE.md invariant; values here are order-independent today,
+            # but table ORDER must stay reproducible for any consumer).
+            for drv in sorted(set(wet_lists) | set(dry_lists)):
                 wg, dg = wet_lists.get(drv), dry_lists.get(drv)
                 if wg and dg:
                     out[drv] = float(

@@ -195,6 +195,7 @@ class F1Predictor:
         historical = sorted(
             s for s in range(season - 1, season + 1) if s > ELO_SEASON_FLOOR
         )
+        added = False
         for hist in historical:
             if hist in self._processed_seasons:
                 continue
@@ -215,9 +216,14 @@ class F1Predictor:
                     self.elo_system.set_recency_weight(years_ago, idx, total)
                     self.elo_system.update_race_ratings(ev)
                 self._processed_seasons.add(hist)
+                added = True
             except Exception:  # noqa: BLE001 — skip bad seasons (predictor.py:301)
                 pass
-        if self._use_elo_cache and self._processed_seasons:
+        # Persist only when this call actually ingested a season: the
+        # walk-forward backtest calls prepare_weekend once per race, and an
+        # unconditional save re-serialized the full state ~24x/season for
+        # nothing.
+        if self._use_elo_cache and added and self._processed_seasons:
             save_elo(
                 self.elo_system,
                 self._elo_cache_path,
@@ -297,7 +303,6 @@ class F1Predictor:
             )
 
         drivers = fp_data["Driver"].unique().tolist()
-        n = len(drivers)
         # The weekend's driver→team assignment comes from the session frame
         # itself (loader schema guarantees a Team column), NOT the static
         # 2025 cfg.DRIVER_TEAMS table: real-data archives carry FastF1 team
@@ -400,7 +405,10 @@ class F1Predictor:
             quali_probs=quali_probs,
             weather=weather,
             prediction_point=prediction_point,
-            grid_is_actual=actual_grid is not None
+            # bool(): the quali branch consumes the grid by TRUTHINESS,
+            # so an empty dict must not label a model-predicted grid as
+            # actual.
+            grid_is_actual=bool(actual_grid)
             and prediction_point in ("quali", "sprint"),
         )
 

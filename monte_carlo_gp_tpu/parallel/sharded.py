@@ -91,6 +91,12 @@ def _season_probs(
     # both axes into the sims partition, so legacy 2D meshes use all their
     # devices (the race axis is sequential now).
     axes = tuple(a for a in (race_axis, sims_axis) if a in mesh.axis_names)
+    if not axes:
+        raise ValueError(
+            f"mesh axes {mesh.axis_names} contain neither {race_axis!r} "
+            f"nor {sims_axis!r}; build the mesh with make_mesh({{'sims': "
+            f"n_devices}}) or pass matching axis names"
+        )
     spec = P(axes if len(axes) > 1 else axes[0], None)
 
     def one_race(args):

@@ -168,7 +168,18 @@ def precompile(
             if p.wait() != 0:
                 failed.append(laps)
         if failed:
-            raise RuntimeError(f"precompile failed for lap buckets {failed}")
+            # Exclusive-access TPU hosts (standard libtpu: one process owns
+            # the device) reject the parallel children; the sandbox tunnel
+            # tolerates multiple clients but a real TPU VM may not. Fall
+            # back to sequential in-process compiles for the failed
+            # buckets instead of failing the build step.
+            get_logger().warning(
+                "parallel precompile failed for lap buckets %s "
+                "(exclusive-access TPU?); retrying sequentially in-process",
+                failed,
+            )
+            for laps in failed:
+                compile_one(laps, n_simulations, engine, n_drivers)
     n_programs = len(specs)
     if season_races > 0:
         compile_season(season_races, n_simulations, engine, n_drivers)
