@@ -99,6 +99,12 @@ def main():
     print("Running backtest (this may take several minutes)...")
     print("Loading historical data and simulating predictions...\n")
 
+    if args.batched and args.checkpoint:
+        parser.error(
+            "--checkpoint is not supported with --batched (the single-"
+            "launch season path has no per-race progress to record); "
+            "drop --batched to get resumable checkpoints"
+        )
     if args.batched:
         from monte_carlo_gp_tpu.models.predictor import resolve_engine
 

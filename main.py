@@ -10,6 +10,7 @@ Examples:
 """
 
 import argparse
+import sys
 
 
 def build_predictor(args):
@@ -170,8 +171,10 @@ def main():
                 args.season, args.race, args.prediction_point
             )
         else:
+            # Reference-style message on stdout, but a NONZERO exit so
+            # scripts ('main.py ... && deploy') see the failure.
             print(f"Error: {e}")
-            return
+            sys.exit(1)
     if args.timings:
         print()
         print(phase_report(timers))

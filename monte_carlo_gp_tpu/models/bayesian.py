@@ -576,12 +576,10 @@ class BayesianQualiModel:
         return posterior
 
     def posterior_for(self, laps: pd.DataFrame) -> QualiPosterior:
+        from monte_carlo_gp_tpu.models.quali_common import needs_refit
+
         token = laps.attrs.get("_mcgp_loader_token")
-        if (
-            self._posterior is None
-            or token is None
-            or token is not self._token
-        ):
+        if needs_refit(self._posterior, token, self._token):
             return self.fit(laps)
         return self._posterior
 

@@ -297,7 +297,13 @@ class GBMQualiModel:
         self._models = models
         self._agg = data.agg
         pooled = np.concatenate(residuals)
-        self._resid_sigma = float(max(np.std(pooled), 1e-3))
+        # RMS about ZERO, not np.std: std subtracts the pooled mean, which
+        # would hide any systematic prediction bias (early expanding-window
+        # folds train on near-featureless rows) and understate the honest
+        # prediction-error spread sqrt(var + bias^2).
+        self._resid_sigma = float(
+            max(np.sqrt(np.mean(np.square(pooled))), 1e-3)
+        )
         self._token = laps.attrs.get("_mcgp_loader_token")
         log_event(
             "gbm_quali_fit",
@@ -308,8 +314,10 @@ class GBMQualiModel:
         return self
 
     def _ensure_fit(self, laps: pd.DataFrame) -> None:
+        from monte_carlo_gp_tpu.models.quali_common import needs_refit
+
         token = laps.attrs.get("_mcgp_loader_token")
-        if self._models is None or token is None or token is not self._token:
+        if needs_refit(self._models, token, self._token):
             self.fit(laps)
 
     def predict_gaps(

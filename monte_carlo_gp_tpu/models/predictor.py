@@ -337,8 +337,14 @@ class F1Predictor:
         else:
             quali_probs = None
             if self._quali_model != "elo":
+                # Resolve CLI-style short names ('Bahrain') to the
+                # schedule's EventName first: the alt models match circuits
+                # EXACTLY against the archive's resolved names (bayesian
+                # circuit index, gbm per-circuit gap features), so an
+                # unresolved name silently zeroes the circuit signal.
+                circuit = self.data_loader._resolve_event(season, race)
                 quali_probs = self._predict_quali_alt(
-                    drivers, race, season, weekend_teams
+                    drivers, circuit, season, weekend_teams
                 )
             if quali_probs is None:
                 quali_features = {

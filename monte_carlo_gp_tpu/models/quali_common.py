@@ -17,6 +17,16 @@ import pandas as pd
 _REQUIRED = {"LapTime", "Driver", "Team", "circuit"}
 
 
+def needs_refit(cached, frame_token, cached_token) -> bool:
+    """Shared walk-forward fit-cache gate for BOTH alt quali models
+    (leakage safety — change it HERE, never fork a copy; CLAUDE.md):
+    refit when nothing is cached, the frame carries no loader token
+    (directly-assigned archives are unverifiable), or the token IDENTITY
+    changed (the loader rebuilt the archive — e.g. the walk-forward clock
+    advanced — so the cached fit may have seen different data)."""
+    return cached is None or frame_token is None or frame_token is not cached_token
+
+
 def valid_q_rows(
     laps: pd.DataFrame, session_type: str | None = "Q"
 ) -> pd.DataFrame:

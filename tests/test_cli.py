@@ -89,6 +89,8 @@ def test_main_cli_safe_fallback(tmp_path):
         tmp_path,
     )
     assert "Error: No practice data available" in out2.stdout
+    # Hard errors exit nonzero so script chains see the failure.
+    assert out2.returncode == 1
 
 
 @pytest.mark.slow

@@ -181,3 +181,22 @@ def test_predictor_gbm_path_end_to_end(tmp_path):
     # Same weekend re-prepared: cached fit + crc32-keyed noise → identical.
     plan2 = p.prepare_weekend(2024, "Bahrain")
     assert plan.quali_probs == plan2.quali_probs
+
+
+def test_short_race_name_resolves_to_archive_circuit(tmp_path):
+    """CLI-style short names ('Bahrain') must hit the same circuit signal
+    as the schedule's EventName: the predictor resolves the name before
+    the alt model's exact-match circuit lookup (a silent signal drop
+    otherwise — the archive stores resolved EventNames)."""
+    from monte_carlo_gp_tpu.data.synthetic import SyntheticBackend
+    from monte_carlo_gp_tpu.models.predictor import F1Predictor
+
+    p = F1Predictor(
+        cache_dir=tmp_path,
+        backend=SyntheticBackend(seed=2718, n_events=4),
+        engine="xla",
+        quali_model="gbm",
+    )
+    plan_full = p.prepare_weekend(2024, "Bahrain Grand Prix")
+    plan_short = p.prepare_weekend(2024, "Bahrain")
+    assert plan_short.quali_probs == plan_full.quali_probs
